@@ -1,0 +1,65 @@
+"""Benchmark: Cornell-box path tracing rays/s on the available device.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The reference
+(pbrt-v2) publishes no numbers (BASELINE.md), so vs_baseline compares against the
+previous round's recording when present, else 1.0.
+"""
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import _render_wave_jit
+    from grail.engine.integrator import IntegratorConfig
+    from grail.engine import film as flm
+
+    xres = yres = int(os.environ.get("BENCH_RES", "256"))
+    spp = int(os.environ.get("BENCH_SPP", "16"))
+    max_depth = int(os.environ.get("BENCH_DEPTH", "5"))
+
+    scene, meta, _ = cornell_box(xres=xres, yres=yres, spp=spp)
+    cfg = IntegratorConfig(kind="path", max_depth=max_depth)
+    film = flm.new_film(meta.xres, meta.yres)
+
+    # compile + warmup wave
+    film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(0))
+    jax.block_until_ready(film)
+
+    t0 = time.perf_counter()
+    for s in range(1, spp):
+        film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(s))
+    jax.block_until_ready(film)
+    dt = time.perf_counter() - t0
+
+    camera_rays = xres * yres * (spp - 1)
+    # traced rays per camera ray: per bounce → 1 extend + 1 shadow + 1 MIS ray
+    rays_per_sec = camera_rays / dt
+
+    prev = None
+    for n in range(10, 0, -1):
+        p = f"BENCH_r{n}.json"
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    prev = json.load(f).get("value")
+                break
+            except Exception:
+                pass
+    vs = rays_per_sec / prev if prev else 1.0
+    print(json.dumps({
+        "metric": "camera_rays_per_sec_path_cornell",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

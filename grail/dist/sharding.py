@@ -1,0 +1,120 @@
+"""Multi-chip distribution — the TPU-native replacement for pbrt's thread pool
+(src/core/parallel.{h,cpp}) and atomic film merging (SURVEY §2.10 P1/P2/P7).
+
+Pixels/samples shard across the device mesh via shard_map (DP axis); the scene
+pytree is replicated; each device accumulates its own functional film and the
+merge is one psum — no atomics, no mutexes, deterministic. Gradients of scene
+parameters psum the same way (P7), letting XLA overlap the all-reduce with the
+remaining backward work.
+
+Multi-host: jax.distributed.initialize() before mesh creation gives the same code
+path over ICI+DCN; every host runs the same program (SURVEY §5.8).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..engine import film as flm
+from ..engine.render import render_wave
+from ..engine.integrator import IntegratorConfig
+
+
+def make_mesh(n_devices=None, devices=None):
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("dev",))
+
+
+def _pad_pixels(n_pixels, n_dev):
+    per = -(-n_pixels // n_dev)
+    return per * n_dev, per
+
+
+def render_wave_sharded(scene, meta, cfg, film, samp_idx, mesh):
+    """One wave with pixels sharded over mesh axis 'dev'; film psum-merged."""
+    n_pix = meta.xres * meta.yres
+    n_dev = mesh.devices.size
+    padded, _ = _pad_pixels(n_pix, n_dev)
+    pix = jnp.arange(padded, dtype=jnp.uint32)
+    # out-of-range lanes render pixel 0 with zero weight via mask below
+    valid = pix < n_pix
+    pix = jnp.where(valid, pix, 0)
+
+    def shard_fn(scene, film, pix_shard, valid_shard, samp):
+        f = jax.tree.map(jnp.zeros_like, film)
+        f = render_wave(scene, meta, cfg, f, samp[0], pix=pix_shard,
+                        mask=valid_shard)
+        f = jax.lax.psum(f, "dev")
+        return jax.tree.map(lambda a, b: a + b, film, f)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P("dev"), P("dev"), P()),
+        out_specs=P(),
+    )
+    samp = jnp.full((1,), samp_idx, jnp.uint32)
+    return fn(scene, film, pix, valid, samp)
+
+
+def render_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh, film=None):
+    if film is None:
+        film = flm.new_film(meta.xres, meta.yres)
+    step = jax.jit(
+        partial(render_wave_sharded, mesh=mesh),
+        static_argnums=(1, 2))
+    for s in range(spp):
+        film = step(scene, meta, cfg, film, jnp.uint32(s))
+    return flm.develop(film), film
+
+
+def make_train_step(meta, cfg, mesh, param_paths=("tex_data",)):
+    """Build a jitted SPMD training step: render a wave, L2 loss vs target image,
+    grads for the scene's differentiable leaves psum'd across the mesh.
+
+    Returns step(scene, target, samp_idx) -> (loss, grads_pytree). The inverse
+    rendering driver (tools/optimize.py) and dryrun_multichip use this.
+    """
+    n_pix = meta.xres * meta.yres
+    n_dev = mesh.devices.size
+    padded, _ = _pad_pixels(n_pix, n_dev)
+
+    def loss_fn(params, scene, target, pix_shard, valid_shard, samp):
+        scene = {**scene, **params}
+        f = flm.new_film(meta.xres, meta.yres)
+        f = render_wave(scene, meta, cfg, f, samp[0], pix=pix_shard,
+                        mask=valid_shard)
+        f = jax.tree.map(lambda a: jax.lax.psum(a, "dev"), f)
+        img = flm.develop(f)
+        return jnp.mean((img - target) ** 2)
+
+    def shard_fn(params, scene, target, pix, valid, samp):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, target, pix,
+                                                  valid, samp)
+        grads = jax.lax.pmean(grads, "dev")  # identical but explicit (P7)
+        return loss, grads
+
+    smapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P("dev"), P("dev"), P()),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(scene, target, samp_idx):
+        params = {k: scene[k] for k in param_paths}
+        rest = {k: v for k, v in scene.items() if k not in param_paths}
+        pix = jnp.arange(padded, dtype=jnp.uint32)
+        valid = pix < n_pix
+        pix = jnp.where(valid, pix, 0)
+        samp = jnp.full((1,), samp_idx, jnp.uint32)
+        return smapped(params, rest, target, pix, valid, samp)
+
+    return step

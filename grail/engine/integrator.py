@@ -1,0 +1,312 @@
+"""Surface integrators — pbrt src/integrators/{path,directlighting,whitted,
+ambientocclusion} + src/core/integrator.cpp (UniformSampleOneLight/AllLights,
+EstimateDirect) re-architected as a masked wavefront loop.
+
+The reference recurses per ray (PathIntegrator::Li, path.cpp ~L50); here each bounce
+is one SPMD stage over the whole ray batch with an `active` mask: intersect →
+shade (texture eval + lobe gather) → estimate_direct (MIS light+BSDF branches,
+PowerHeuristic) → sample continuation → Russian roulette. The bounce loop is a
+static Python loop so every sampler dimension is static (counter-based RNG).
+
+Differentiability: all sampling decisions (u's, discrete picks, RR) are inherently
+detached (pure-hash constants); pdfs dividing the estimator are stop_gradient'ed
+(detached-sampling reparameterization) so gradients flow through f, Le, and camera
+terms unbiasedly for parameters that do not move discontinuities.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import absdot, dot, normalize
+from ..core import rng as rngmod
+from ..core import montecarlo as mc
+from ..core.spectrum import luminance
+from ..kernels import intersect as isect
+from ..shade import bsdf as bx
+from ..shade import lights as lt
+from ..shade import geometry as geom
+from ..shade import materials as mtl
+from ..shade.textures import eval_textures
+
+BIG = jnp.float32(1.0e7)
+
+# sampler dimension slots (static layout)
+SLOT_FILM = 0
+SLOT_LENS = 1
+SLOT_TIME = 2
+_BOUNCE_BASE = 4
+_BOUNCE_STRIDE = 8
+# per-bounce offsets
+_D_LIGHT_SEL = 0
+_D_LIGHT_POS = 1   # 2D
+_D_LIGHT_TRI = 2
+_D_BSDF_COMP = 3
+_D_BSDF_DIR = 4    # 2D
+_D_RR = 5
+_D_MIS_COMP = 6
+_D_MIS_DIR = 7     # 2D
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegratorConfig:
+    kind: str = "path"            # path | direct | whitted | ao
+    max_depth: int = 5
+    rr_depth: int = 3             # RR starts after this many bounces (pbrt: 3)
+    light_strategy: str = "one"   # one (uniform) | power | all
+    ao_samples: int = 1
+    ao_maxdist: float = 1.0e7
+
+
+def _bdim(bounce, off):
+    return _BOUNCE_BASE + bounce * _BOUNCE_STRIDE + off
+
+
+def _shade_context(scene, meta, hit, o, d):
+    """Common post-hit work: shading geometry, textures, lobes, local wo."""
+    sg = geom.shading_geometry(scene, hit, o, d)
+    tex_values = eval_textures(meta.tex_specs, scene["tex_data"], sg,
+                               scene.get("images", ()))
+    lobes = mtl.gather_lobes(scene, sg, tex_values)
+    wo_local = geom.world_to_local(sg, -d)
+    return sg, lobes, wo_local
+
+
+def _detach(x):
+    return jax.lax.stop_gradient(x)
+
+
+def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
+                    u_light, u_tri, u_comp, u_dir, active):
+    """One-light direct lighting with MIS (pbrt integrator.cpp EstimateDirect).
+
+    light_idx (N,): chosen light row; light_pmf (N,): its selection probability.
+    Returns Ld (N,3) already divided by light_pmf.
+    """
+    present = meta.lobe_types
+    p = sg["p"]
+    eps = sg["ray_eps"]
+
+    # ---- light-sampling branch
+    ls = lt.sample_li(scene, light_idx, p, u_light[0], u_light[1], u_tri,
+                      meta.light_types)
+    wi_l = geom.world_to_local(sg, ls["wi"])
+    f_l = bx.bsdf_f(lobes, wo_local, wi_l, present, include_specular=False)
+    cos_l = absdot(ls["wi"], sg["ns"])
+    contrib_possible = active & (ls["pdf"] > 0.0) & (cos_l > 0.0) \
+        & jnp.any(ls["radiance"] > 0.0, axis=-1) & jnp.any(f_l > 0.0, axis=-1)
+    # shadow ray (only meaningful where contrib possible; traced for all lanes)
+    occluded = isect.intersect_p(
+        scene, p + ls["wi"] * eps[..., None], ls["wi"],
+        jnp.where(contrib_possible, ls["dist"] - 2.0 * eps, 0.0))
+    bsdf_pdf_l = bx.bsdf_pdf(lobes, wo_local, wi_l, present, include_specular=False)
+    w_l = jnp.where(ls["delta"], 1.0,
+                    mc.power_heuristic(1.0, ls["pdf"], 1.0, bsdf_pdf_l))
+    Ld = jnp.where(
+        (contrib_possible & ~occluded)[..., None],
+        f_l * ls["radiance"] * (cos_l * w_l / _detach(jnp.maximum(ls["pdf"], 1e-12)))[..., None],
+        0.0)
+
+    # ---- BSDF-sampling branch (non-delta lights only; pbrt EstimateDirect part 2)
+    sampleable = (lt.AREA in meta.light_types) or (lt.INFINITE in meta.light_types)
+    if sampleable:
+        bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp, present,
+                            include_specular=False)
+        wi_w = geom.local_to_world(sg, bs["wi"])
+        cos_b = absdot(wi_w, sg["ns"])
+        can = active & bs["valid"] & (bs["pdf"] > 0.0) \
+            & ~lt.is_delta(scene["lights"]["type"][light_idx])
+        hit2 = isect.intersect(scene, p + wi_w * eps[..., None], wi_w,
+                               jnp.where(can, BIG, 0.0) * jnp.ones_like(eps))
+        light_pdf_dir = jnp.zeros_like(bs["pdf"])
+        Li2 = jnp.zeros_like(Ld)
+        hit_light = jnp.zeros(p.shape[0], jnp.bool_)
+        if lt.AREA in meta.light_types:
+            # hit the chosen area light?
+            hit_prim = jnp.maximum(hit2["prim"], 0)
+            hit_is_chosen = (hit2["prim"] >= 0) & \
+                (scene["tri_light"][hit_prim] == light_idx)
+            sg2 = geom.shading_geometry(scene, hit2, p, wi_w)
+            cos_at_light = dot(sg2["ng"], -wi_w)
+            lp = lt.area_light_pdf_dir(scene, light_idx, hit2["t"], cos_at_light)
+            Le2 = lt.area_light_emitted(scene, sg2, -wi_w)
+            light_pdf_dir = jnp.where(hit_is_chosen, lp, light_pdf_dir)
+            Li2 = jnp.where(hit_is_chosen[..., None], Le2, Li2)
+            hit_light = hit_light | hit_is_chosen
+        if lt.INFINITE in meta.light_types:
+            is_env = scene["lights"]["type"][light_idx] == lt.INFINITE
+            escaped = hit2["prim"] < 0
+            m = is_env & escaped
+            light_pdf_dir = jnp.where(m, lt.env_pdf(scene, light_idx, wi_w),
+                                      light_pdf_dir)
+            Li2 = jnp.where(m[..., None], lt.env_radiance(scene, light_idx, wi_w),
+                            Li2)
+            hit_light = hit_light | m
+        w_b = mc.power_heuristic(1.0, bs["pdf"], 1.0, light_pdf_dir)
+        Ld += jnp.where(
+            (can & hit_light & (light_pdf_dir > 0.0))[..., None],
+            bs["f"] * Li2 * (cos_b * w_b / _detach(jnp.maximum(bs["pdf"], 1e-12)))[..., None],
+            0.0)
+
+    return Ld / _detach(jnp.maximum(light_pmf, 1e-12))[..., None]
+
+
+def _pick_light(scene, meta, cfg, pix, samp, bounce, active):
+    """UniformSampleOneLight light choice (or power-weighted)."""
+    n_lights = meta.n_lights
+    u = rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_LIGHT_SEL))
+    if cfg.light_strategy == "power":
+        idx, pmf = mc.sample_distribution_1d_discrete(scene["light_power_dist"], u)
+        return idx.astype(jnp.int32), pmf
+    idx = jnp.minimum((u * n_lights).astype(jnp.int32), n_lights - 1)
+    pmf = jnp.full(u.shape, 1.0 / n_lights, jnp.float32)
+    return idx, pmf
+
+
+def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
+    """Radiance for a batch of camera rays — the wavefront bounce loop.
+
+    rays: dict from camera.generate_rays; pix, samp: sampler coordinates.
+    Returns L (N,3).
+    """
+    o, d = rays["o"], rays["d"]
+    n = o.shape[0]
+    L = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), jnp.bool_)
+    spec_bounce = jnp.ones((n,), jnp.bool_)   # bounce-0 emission counts
+    eps = jnp.zeros((n,), jnp.float32)
+
+    if cfg.kind == "ao":
+        return _ao_li(scene, meta, cfg, rays, pix, samp)
+    if cfg.kind not in ("path", "direct", "whitted"):
+        raise ValueError(f"unknown integrator kind {cfg.kind!r}; "
+                         "expected path|direct|whitted|ao")
+
+    max_depth = cfg.max_depth if cfg.kind in ("path", "whitted") else cfg.max_depth
+    for bounce in range(max_depth + 1):
+        hit = isect.intersect(scene, o, d, jnp.where(active, BIG, 0.0) * jnp.ones_like(eps))
+        miss = hit["prim"] < 0
+
+        # escaped: env radiance only when direct-visible or after specular (pbrt
+        # path.cpp: light->Le summed on miss for specular/0-bounce rays; MIS rays
+        # are handled inside EstimateDirect)
+        L += jnp.where((active & miss & spec_bounce)[..., None],
+                       throughput * lt.escaped_radiance(scene, d, meta.light_types),
+                       0.0)
+        active = active & ~miss
+        any_active_static = True  # static loop; lanes masked
+
+        sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d)
+
+        # emitted at hit (area lights), only for camera/specular vertices
+        if lt.AREA in meta.light_types:
+            L += jnp.where((active & spec_bounce)[..., None],
+                           throughput * lt.area_light_emitted(scene, sg, -d), 0.0)
+
+        # ---- direct lighting
+        if meta.n_lights > 0 and cfg.kind != "whitted":
+            if cfg.light_strategy == "all":
+                Ld = jnp.zeros((n, 3), jnp.float32)
+                for lrow in range(meta.n_lights):
+                    lidx = jnp.full((n,), lrow, jnp.int32)
+                    pmf = jnp.ones((n,), jnp.float32)
+                    Ld += estimate_direct(
+                        scene, meta, sg, lobes, wo_local, lidx, pmf,
+                        (rngmod.sample_2d(meta.sampler, pix, samp,
+                                          _bdim(bounce, _D_LIGHT_POS) + 100 * lrow)),
+                        rngmod.sample_1d(meta.sampler, pix, samp,
+                                         _bdim(bounce, _D_LIGHT_TRI) + 100 * lrow),
+                        rngmod.sample_1d(meta.sampler, pix, samp,
+                                         _bdim(bounce, _D_MIS_COMP) + 100 * lrow),
+                        (rngmod.sample_2d(meta.sampler, pix, samp,
+                                          _bdim(bounce, _D_MIS_DIR) + 100 * lrow)),
+                        active)
+            else:
+                lidx, pmf = _pick_light(scene, meta, cfg, pix, samp, bounce, active)
+                Ld = estimate_direct(
+                    scene, meta, sg, lobes, wo_local, lidx, pmf,
+                    rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_LIGHT_POS)),
+                    rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_LIGHT_TRI)),
+                    rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_MIS_COMP)),
+                    rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_MIS_DIR)),
+                    active)
+            L += jnp.where(active[..., None], throughput * Ld, 0.0)
+        elif meta.n_lights > 0 and cfg.kind == "whitted":
+            # whitted.cpp: sample every light once, no MIS
+            Ld = jnp.zeros((n, 3), jnp.float32)
+            for lrow in range(meta.n_lights):
+                lidx = jnp.full((n,), lrow, jnp.int32)
+                u2d = rngmod.sample_2d(meta.sampler, pix, samp,
+                                       _bdim(bounce, _D_LIGHT_POS) + 100 * lrow)
+                u3 = rngmod.sample_1d(meta.sampler, pix, samp,
+                                      _bdim(bounce, _D_LIGHT_TRI) + 100 * lrow)
+                ls = lt.sample_li(scene, lidx, sg["p"], u2d[0], u2d[1], u3,
+                                  meta.light_types)
+                wi_l = geom.world_to_local(sg, ls["wi"])
+                f_l = bx.bsdf_f(lobes, wo_local, wi_l, meta.lobe_types, False)
+                cos_l = absdot(ls["wi"], sg["ns"])
+                ok = active & (ls["pdf"] > 0.0) & (cos_l > 0.0)
+                occl = isect.intersect_p(
+                    scene, sg["p"] + ls["wi"] * sg["ray_eps"][..., None], ls["wi"],
+                    jnp.where(ok, ls["dist"] - 2.0 * sg["ray_eps"], 0.0))
+                Ld += jnp.where((ok & ~occl)[..., None],
+                                f_l * ls["radiance"]
+                                * (cos_l / _detach(jnp.maximum(ls["pdf"], 1e-12)))[..., None],
+                                0.0)
+            L += jnp.where(active[..., None], throughput * Ld, 0.0)
+
+        if bounce == max_depth:
+            break
+
+        # ---- continuation: sample BSDF
+        u_dir = rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_DIR))
+        u_comp = rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_COMP))
+        bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp,
+                            meta.lobe_types, include_specular=True)
+        wi_w = geom.local_to_world(sg, bs["wi"])
+        cos_c = absdot(wi_w, sg["ns"])
+        contrib = bs["f"] * (cos_c / _detach(jnp.maximum(bs["pdf"], 1e-12)))[..., None]
+        cont_ok = bs["valid"] & jnp.any(bs["f"] != 0.0, axis=-1)
+        if cfg.kind in ("direct", "whitted"):
+            cont_ok = cont_ok & bs["specular"]   # only specular recursion
+        throughput = jnp.where(cont_ok[..., None], throughput * contrib, throughput)
+        active = active & cont_ok
+        spec_bounce = bs["specular"]
+
+        # ---- Russian roulette (path.cpp: after rr_depth bounces)
+        if cfg.kind == "path" and bounce >= cfg.rr_depth:
+            q = jnp.minimum(0.5, luminance(_detach(throughput)))
+            u_rr = rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_RR))
+            survive = u_rr < q
+            active = active & survive
+            throughput = throughput / _detach(jnp.maximum(q, 1e-6))[..., None]
+
+        o = sg["p"] + wi_w * sg["ray_eps"][..., None]
+        d = wi_w
+        eps = sg["ray_eps"]
+
+    return L * rays["weight"][..., None]
+
+
+def _ao_li(scene, meta, cfg, rays, pix, samp):
+    """ambientocclusion.cpp: fraction of cosine-sampled rays unoccluded."""
+    o, d = rays["o"], rays["d"]
+    n = o.shape[0]
+    hit = isect.intersect(scene, o, d, BIG * jnp.ones((n,), jnp.float32))
+    sg = geom.shading_geometry(scene, hit, o, d)
+    active = hit["prim"] >= 0
+    total = jnp.zeros((n,), jnp.float32)
+    for s in range(cfg.ao_samples):
+        u = rngmod.sample_2d(meta.sampler, pix, samp, _BOUNCE_BASE + s)
+        wl = mc.cosine_sample_hemisphere(u[0], u[1])
+        w = geom.local_to_world(sg, wl)
+        w = jnp.where(dot(w, sg["ng"])[..., None] < 0.0, -w, w)
+        occ = isect.intersect_p(scene, sg["p"] + w * sg["ray_eps"][..., None], w,
+                                jnp.full((n,), cfg.ao_maxdist, jnp.float32))
+        total += jnp.where(active & ~occ, 1.0, 0.0)
+    ao = total / cfg.ao_samples
+    return ao[..., None] * jnp.ones((n, 3)) * rays["weight"][..., None]

@@ -1,0 +1,108 @@
+"""Ray-scene intersection kernels.
+
+pbrt-v2 equivalents: Triangle::Intersect Möller-Trumbore (src/shapes/trianglemesh.cpp
+~L150) and BVHAccel::Intersect/IntersectP (src/accelerators/bvh.cpp). Here rays are a
+SoA batch; dispatch picks brute-force (small scenes / oracle) or the flattened-BVH
+traversal in kernels/bvh_traverse.py. Quadric intersection lives in quadrics.py.
+
+Hit record (dict of (N,) arrays): t, prim (int32, -1 = miss), b1, b2 (barycentrics).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import cross, dot
+
+BIG_T = jnp.float32(3.0e37)
+
+
+def moller_trumbore(o, d, v0, e1, e2, tmin, tmax):
+    """Batched Möller-Trumbore. o,d (...,3); v0,e1,e2 (...,3) broadcastable.
+
+    Returns (hit, t, b1, b2). Follows pbrt trianglemesh.cpp: divisor==0 → miss,
+    b1,b2 in [0,1], b1+b2<=1, t in (tmin, tmax)."""
+    s1 = cross(d, e2)
+    divisor = dot(s1, e1)
+    inv = 1.0 / jnp.where(divisor == 0.0, 1.0, divisor)
+    s = o - v0
+    b1 = dot(s, s1) * inv
+    s2 = cross(s, e1)
+    b2 = dot(d, s2) * inv
+    t = dot(e2, s2) * inv
+    hit = (
+        (divisor != 0.0)
+        & (b1 >= 0.0) & (b1 <= 1.0)
+        & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+        & (t > tmin) & (t < tmax)
+    )
+    return hit, t, b1, b2
+
+
+def _gather_tri_verts(scene, tri_ids):
+    idx = scene["tri_idx"][tri_ids]                      # (...,3)
+    v0 = scene["verts"][idx[..., 0]]
+    v1 = scene["verts"][idx[..., 1]]
+    v2 = scene["verts"][idx[..., 2]]
+    return v0, v1 - v0, v2 - v0
+
+
+def intersect_brute(scene, o, d, tmax, tmin=None):
+    """All-pairs rays×triangles (the aggregatetest-style oracle and small-scene path).
+
+    o,d (N,3); tmax (N,). Returns hit dict. Memory O(N*T) — use only when N*T small.
+    """
+    n = o.shape[0]
+    t_count = scene["tri_idx"].shape[0]
+    v0, e1, e2 = _gather_tri_verts(scene, jnp.arange(t_count))
+    if tmin is None:
+        tmin = jnp.zeros((n,), jnp.float32)
+    hit, t, b1, b2 = moller_trumbore(
+        o[:, None, :], d[:, None, :], v0[None], e1[None], e2[None],
+        tmin[:, None], tmax[:, None],
+    )  # (N,T)
+    t_masked = jnp.where(hit, t, BIG_T)
+    best = jnp.argmin(t_masked, axis=1)
+    best_t = jnp.take_along_axis(t_masked, best[:, None], axis=1)[:, 0]
+    any_hit = best_t < BIG_T
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    return {
+        "t": jnp.where(any_hit, best_t, BIG_T),
+        "prim": jnp.where(any_hit, best.astype(jnp.int32), -1),
+        "b1": take(b1),
+        "b2": take(b2),
+    }
+
+
+def intersect_p_brute(scene, o, d, tmax, tmin=None):
+    """Shadow-ray occlusion test, brute force. Returns occluded (N,) bool."""
+    n = o.shape[0]
+    t_count = scene["tri_idx"].shape[0]
+    v0, e1, e2 = _gather_tri_verts(scene, jnp.arange(t_count))
+    if tmin is None:
+        tmin = jnp.zeros((n,), jnp.float32)
+    hit, _, _, _ = moller_trumbore(
+        o[:, None, :], d[:, None, :], v0[None], e1[None], e2[None],
+        tmin[:, None], tmax[:, None],
+    )
+    return jnp.any(hit, axis=1)
+
+
+def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
+    """Scene intersection dispatch (Scene::Intersect analog)."""
+    if use_bvh is None:
+        use_bvh = "bvh" in scene and scene["bvh"] is not None
+    if use_bvh:
+        from .bvh_traverse import bvh_intersect
+        return bvh_intersect(scene, o, d, tmax, tmin)
+    return intersect_brute(scene, o, d, tmax, tmin)
+
+
+def intersect_p(scene, o, d, tmax, tmin=None, use_bvh=None):
+    """Occlusion test dispatch (Scene::IntersectP analog)."""
+    if use_bvh is None:
+        use_bvh = "bvh" in scene and scene["bvh"] is not None
+    if use_bvh:
+        from .bvh_traverse import bvh_intersect_p
+        return bvh_intersect_p(scene, o, d, tmax, tmin)
+    return intersect_p_brute(scene, o, d, tmax, tmin)

@@ -1,0 +1,332 @@
+"""SceneBuilder → (scene pytree, SceneMeta): the TPU replacement for pbrt's object
+graph (api.cpp RenderOptions/MakeScene).
+
+pbrt builds a pointer graph of Shapes/Materials/Lights; here everything compiles to
+structure-of-arrays device buffers: one global triangle soup (world-space verts,
+indices, per-tri material/light ids, flag bits), a material lobe table, a texture
+table (static specs + differentiable row data), a light table with per-light area
+CDFs, and the camera pack. SceneMeta holds every static (hashable) fact so the
+render function jits cleanly with scene data as traced pytree leaves.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import transform as tr
+from ..shade import bsdf as bx
+from ..shade import lights as lt
+from ..shade import geometry as geom
+from ..shade.textures import TexSpec
+from ..shade.materials import CONV_ID
+from ..core.rng import SamplerConfig
+from ..engine.filters import FilterConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static scene facts (safe as jit static arg)."""
+    tex_specs: Tuple[TexSpec, ...]
+    lobe_types: Tuple[int, ...]
+    light_types: Tuple[int, ...]
+    n_lights: int
+    n_tris: int
+    sampler: SamplerConfig
+    cam_kind: int
+    filter: FilterConfig
+    xres: int
+    yres: int
+    has_env_map: bool = False
+    n_images: int = 0
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.verts = []
+        self.vnorm = []
+        self.vuv = []
+        self.tri_idx = []
+        self.tri_mat = []
+        self.tri_light = []
+        self.tri_flags = []
+        self.n_verts = 0
+        self.tex_specs = []
+        self.tex_const = []
+        self.tex_w2t = []
+        self.images = []
+        self.mat_rows = []       # list of list-of-lobe dicts
+        self.lights = []         # list of dicts
+        self.camera = None
+        self.sampler = SamplerConfig()
+        self.filter = FilterConfig()
+        self.xres = 256
+        self.yres = 256
+        self.env_map = None      # (H,W,3) np array or None
+        self.env_row = -1
+        self.use_bvh = None      # None = auto (n_tris > 64), True/False forced
+
+    # ------------------------------------------------------------------- textures
+    def add_texture(self, spec: TexSpec, const=(0.0, 0.0, 0.0), w2t=None):
+        self.tex_specs.append(spec)
+        self.tex_const.append(np.asarray(const, np.float32))
+        self.tex_w2t.append(np.asarray(w2t if w2t is not None else tr.identity(),
+                                       np.float32))
+        return len(self.tex_specs) - 1
+
+    def const_tex(self, value):
+        """Constant texture row; scalar or rgb."""
+        v = np.asarray(value, np.float32).reshape(-1)
+        if v.size == 1:
+            v = np.repeat(v, 3)
+        return self.add_texture(TexSpec(kind="const"), v)
+
+    def add_image(self, img):
+        self.images.append(np.asarray(img, np.float32))
+        return len(self.images) - 1
+
+    # ------------------------------------------------------------------ materials
+    def add_material(self, lobes):
+        """lobes: list of dicts with keys type, fr, s0, s1, s2, f0, f1, f2,
+        f0_conv, f1_conv (texture ids for s*/f*; missing keys defaulted)."""
+        self.mat_rows.append(list(lobes))
+        return len(self.mat_rows) - 1
+
+    def matte(self, kd_tex=None, kd=(0.5, 0.5, 0.5), sigma_tex=None):
+        """pbrt matte.cpp: Lambertian or OrenNayar."""
+        if kd_tex is None:
+            kd_tex = self.const_tex(kd)
+        if sigma_tex is None:
+            return self.add_material([{"type": bx.LAMBERT, "s0": kd_tex}])
+        from ..shade.materials import CONV_RADIANS
+        return self.add_material([{"type": bx.OREN_NAYAR, "s0": kd_tex,
+                                   "f0": sigma_tex, "f0_conv": CONV_RADIANS}])
+
+    # -------------------------------------------------------------------- geometry
+    def add_mesh(self, verts, idx, material, normals=None, uvs=None,
+                 reverse_orientation=False, swaps_handedness=False,
+                 area_light_emit=None, n_samples=1):
+        """Append a world-space triangle mesh (pbrtShape trianglemesh analog).
+
+        If area_light_emit is given, every triangle becomes part of one
+        DiffuseAreaLight (api.cpp pbrtAreaLightSource + pbrtShape)."""
+        verts = np.asarray(verts, np.float32).reshape(-1, 3)
+        idx = np.asarray(idx, np.int64).reshape(-1, 3)
+        nv = verts.shape[0]
+        ntri = idx.shape[0]
+        base = self.n_verts
+        flags = 0
+        if normals is not None:
+            flags |= geom.HAS_NS
+        if uvs is not None:
+            flags |= geom.HAS_UV
+        if reverse_orientation:
+            flags |= geom.REVERSE_ORIENTATION
+        if swaps_handedness:
+            flags |= geom.XFORM_SWAPS_HANDEDNESS
+
+        self.verts.append(verts)
+        self.vnorm.append(np.asarray(normals, np.float32).reshape(-1, 3)
+                          if normals is not None else np.zeros((nv, 3), np.float32))
+        self.vuv.append(np.asarray(uvs, np.float32).reshape(-1, 2)
+                        if uvs is not None else np.zeros((nv, 2), np.float32))
+        self.n_verts += nv
+
+        light_id = -1
+        if area_light_emit is not None:
+            light_id = len(self.lights)
+            tri_ids = list(range(sum(len(t) for t in self.tri_idx),
+                                 sum(len(t) for t in self.tri_idx) + ntri))
+            # triangle areas for the CDF
+            v0 = verts[idx[:, 0]]
+            v1 = verts[idx[:, 1]]
+            v2 = verts[idx[:, 2]]
+            areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+            self.lights.append({
+                "type": lt.AREA,
+                "emit": np.asarray(area_light_emit, np.float32),
+                "l2w": tr.identity(),
+                "tris": tri_ids, "tri_areas": areas,
+                "n_samples": n_samples,
+            })
+
+        self.tri_idx.append(idx + base)
+        self.tri_mat.append(np.full(ntri, material, np.int64))
+        self.tri_light.append(np.full(ntri, light_id, np.int64))
+        self.tri_flags.append(np.full(ntri, flags, np.int64))
+        return light_id
+
+    # ---------------------------------------------------------------------- lights
+    def add_point_light(self, p, intensity):
+        m = tr.translate(np.asarray(p, np.float64))
+        self.lights.append({"type": lt.POINT, "emit": np.asarray(intensity, np.float32),
+                            "l2w": m})
+
+    def add_spot_light(self, l2w, intensity, cone_angle=30.0, cone_delta=5.0):
+        self.lights.append({
+            "type": lt.SPOT, "emit": np.asarray(intensity, np.float32), "l2w": l2w,
+            "cos_total": np.cos(np.radians(cone_angle)),
+            "cos_falloff": np.cos(np.radians(cone_angle - cone_delta))})
+
+    def add_distant_light(self, from_p, to_p, radiance):
+        d = np.asarray(to_p, np.float64) - np.asarray(from_p, np.float64)
+        d = d / np.linalg.norm(d)
+        self.lights.append({"type": lt.DISTANT,
+                            "emit": np.asarray(radiance, np.float32),
+                            "l2w": tr.identity(),
+                            "world_dir": (-d).astype(np.float32)})
+
+    def add_infinite_light(self, l2w=None, radiance=(1.0, 1.0, 1.0), env_map=None):
+        """InfiniteAreaLight; env_map (H,W,3) lat-long, importance = luminance·sinθ."""
+        self.env_row = len(self.lights)
+        self.lights.append({"type": lt.INFINITE,
+                            "emit": np.asarray(radiance, np.float32),
+                            "l2w": l2w if l2w is not None else tr.identity()})
+        if env_map is not None:
+            self.env_map = np.asarray(env_map, np.float32)
+
+    # --------------------------------------------------------------------- finalize
+    def finalize(self):
+        n_tris = sum(len(t) for t in self.tri_idx)
+        if n_tris == 0:
+            raise ValueError("scene has no geometry")
+        verts = np.concatenate(self.verts) if self.verts else np.zeros((0, 3), np.float32)
+        scene = {
+            "verts": jnp.asarray(verts),
+            "vnorm": jnp.asarray(np.concatenate(self.vnorm)),
+            "vuv": jnp.asarray(np.concatenate(self.vuv)),
+            "tri_idx": jnp.asarray(np.concatenate(self.tri_idx).astype(np.int32)),
+            "tri_mat": jnp.asarray(np.concatenate(self.tri_mat).astype(np.int32)),
+            "tri_light": jnp.asarray(np.concatenate(self.tri_light).astype(np.int32)),
+            "tri_flags": jnp.asarray(np.concatenate(self.tri_flags).astype(np.int32)),
+        }
+
+        # world bound/radius (Scene::WorldBound)
+        wmin, wmax = verts.min(0), verts.max(0)
+        scene["world_radius"] = jnp.float32(0.5 * np.linalg.norm(wmax - wmin) + 1e-3)
+
+        # ---- materials table
+        K = max((len(r) for r in self.mat_rows), default=1)
+        K = max(K, 1)
+        M = max(len(self.mat_rows), 1)
+        zero_tex = 0 if self.tex_specs else self.const_tex((0.0, 0.0, 0.0))
+        fields = {f: np.zeros((M, K), np.int32) for f in
+                  ("lobe_type", "fr", "s0", "s1", "s2", "f0", "f1", "f2",
+                   "f0_conv", "f1_conv")}
+        for mi, row in enumerate(self.mat_rows):
+            for ki, lobe in enumerate(row):
+                fields["lobe_type"][mi, ki] = lobe.get("type", bx.NONE)
+                fields["fr"][mi, ki] = lobe.get("fr", bx.FR_NOOP)
+                for slot in ("s0", "s1", "s2", "f0", "f1", "f2"):
+                    fields[slot][mi, ki] = lobe.get(slot, zero_tex)
+                fields["f0_conv"][mi, ki] = lobe.get("f0_conv", CONV_ID)
+                fields["f1_conv"][mi, ki] = lobe.get("f1_conv", CONV_ID)
+        scene["materials"] = {k: jnp.asarray(v) for k, v in fields.items()}
+        lobe_types = tuple(sorted({int(t) for r in self.mat_rows
+                                   for t in (l.get("type", bx.NONE) for l in r)}
+                                  - {bx.NONE}))
+
+        # ---- texture table
+        scene["tex_data"] = {
+            "const": jnp.asarray(np.stack(self.tex_const)) if self.tex_const
+                     else jnp.zeros((1, 3), jnp.float32),
+            "w2t": jnp.asarray(np.stack(self.tex_w2t)) if self.tex_w2t
+                   else jnp.zeros((1, 4, 4), jnp.float32),
+        }
+        scene["images"] = tuple(jnp.asarray(im) for im in self.images)
+
+        # ---- light table
+        L = max(len(self.lights), 1)
+        at_max = max((len(l.get("tris", [])) for l in self.lights), default=0)
+        at_max = max(at_max, 1)
+        larr = {
+            "type": np.zeros(L, np.int32),
+            "emit": np.zeros((L, 3), np.float32),
+            "l2w": np.tile(tr.identity(), (L, 1, 1)),
+            "w2l": np.tile(tr.identity(), (L, 1, 1)),
+            "cos_total": np.zeros(L, np.float32),
+            "cos_falloff": np.zeros(L, np.float32),
+            "world_dir": np.zeros((L, 3), np.float32),
+            "area": np.ones(L, np.float32),
+            "atri": np.zeros((L, at_max), np.int32),
+            "acdf": np.tile(np.linspace(0, 1, at_max + 1, dtype=np.float32), (L, 1)),
+            "n_samples": np.ones(L, np.int32),
+        }
+        for i, l in enumerate(self.lights):
+            larr["type"][i] = l["type"]
+            larr["emit"][i] = l["emit"]
+            larr["l2w"][i] = np.asarray(l["l2w"], np.float32)
+            larr["w2l"][i] = tr.inverse(l["l2w"])
+            larr["cos_total"][i] = l.get("cos_total", 0.0)
+            larr["cos_falloff"][i] = l.get("cos_falloff", 0.0)
+            larr["world_dir"][i] = l.get("world_dir", (0, 0, 1))
+            if l["type"] == lt.AREA:
+                tris = l["tris"]
+                areas = l["tri_areas"]
+                total = float(areas.sum())
+                larr["area"][i] = total
+                larr["atri"][i, :len(tris)] = tris
+                cdf = np.concatenate([[0.0], np.cumsum(areas) / max(total, 1e-12)])
+                larr["acdf"][i, :len(cdf)] = cdf.astype(np.float32)
+                larr["acdf"][i, len(cdf):] = 1.0
+            larr["n_samples"][i] = l.get("n_samples", 1)
+        scene["lights"] = {k: jnp.asarray(v) for k, v in larr.items()}
+        scene["env_row"] = jnp.int32(max(self.env_row, 0))
+        scene["env_map"] = (jnp.asarray(self.env_map)
+                            if self.env_map is not None else None)
+
+        # env importance map: luminance · sinθ (infinite.cpp ctor)
+        if self.env_row >= 0:
+            from ..core import montecarlo as mc
+            if self.env_map is not None:
+                lum = (0.212671 * self.env_map[..., 0]
+                       + 0.715160 * self.env_map[..., 1]
+                       + 0.072169 * self.env_map[..., 2])
+            else:
+                lum = np.ones((64, 128), np.float32)
+            h = lum.shape[0]
+            sint = np.sin((np.arange(h) + 0.5) / h * np.pi)
+            scene["env_dist"] = mc.build_distribution_2d(
+                jnp.asarray(lum * sint[:, None] + 1e-9))
+        else:
+            from ..core import montecarlo as mc
+            scene["env_dist"] = mc.build_distribution_2d(jnp.ones((2, 2), jnp.float32))
+
+        # power-weighted light distribution (ComputeLightSamplingCDF)
+        from ..core import montecarlo as mc
+        from ..shade.lights import light_power
+        scene["light_power_dist"] = mc.build_distribution_1d(light_power(scene))
+
+        if self.camera is None:
+            raise ValueError("scene has no camera")
+        scene["camera"] = {
+            k: (jnp.asarray(v) if not isinstance(v, dict)
+                else {kk: jnp.asarray(vv) for kk, vv in v.items()})
+            for k, v in self.camera.items()}
+
+        use_bvh = self.use_bvh if self.use_bvh is not None else n_tris > 64
+        if use_bvh:
+            from .bvh import build_bvh, bvh_to_device
+            tri_all = np.concatenate(self.tri_idx)
+            scene["bvh"] = bvh_to_device(build_bvh(verts, tri_all))
+        else:
+            scene["bvh"] = None
+
+        light_types = tuple(sorted({int(l["type"]) for l in self.lights}))
+        meta = SceneMeta(
+            tex_specs=tuple(self.tex_specs),
+            lobe_types=lobe_types,
+            light_types=light_types,
+            n_lights=len(self.lights),
+            n_tris=n_tris,
+            sampler=self.sampler,
+            cam_kind=int(self.camera["type"]),
+            filter=self.filter,
+            xres=self.xres,
+            yres=self.yres,
+            has_env_map=self.env_map is not None,
+            n_images=len(self.images),
+        )
+        return scene, meta

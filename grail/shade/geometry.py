@@ -1,0 +1,109 @@
+"""Differential geometry at hit points — pbrt src/core/diffgeom.{h,cpp} +
+Triangle::GetShadingGeometry (src/shapes/trianglemesh.cpp ~L260) as SoA math.
+
+From a hit record (t, prim, b1, b2) produce the shading SoA: position, geometric
+normal, shading normal/tangents (interpolated when the mesh has them), uv, dpdu/dpdv,
+and the material/light ids. All gathers; fully vectorized.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.vecmath import cross, dot, normalize, face_forward, coordinate_system
+
+# tri_flags bits
+HAS_NS = 1
+HAS_UV = 2
+HAS_TAN = 4
+REVERSE_ORIENTATION = 8
+XFORM_SWAPS_HANDEDNESS = 16
+
+
+def shading_geometry(scene, hit, ray_o, ray_d):
+    """Build the shading record for a batch of hits.
+
+    Misses (prim<0) produce garbage-but-finite entries; callers mask by hit.
+    """
+    prim = jnp.maximum(hit["prim"], 0)
+    idx = scene["tri_idx"][prim]                    # (N,3)
+    v0 = scene["verts"][idx[..., 0]]
+    v1 = scene["verts"][idx[..., 1]]
+    v2 = scene["verts"][idx[..., 2]]
+    b1 = hit["b1"][..., None]
+    b2 = hit["b2"][..., None]
+    b0 = 1.0 - b1 - b2
+
+    p = ray_o + hit["t"][..., None] * ray_d
+    e1 = v1 - v0
+    e2 = v2 - v0
+    ng = normalize(cross(e1, e2))
+
+    flags = scene["tri_flags"][prim]
+    rev = (flags & REVERSE_ORIENTATION) != 0
+    swap = (flags & XFORM_SWAPS_HANDEDNESS) != 0
+    flip = rev ^ swap
+    ng = jnp.where(flip[..., None], -ng, ng)
+
+    # uv: default parameterization (0,0),(1,0),(1,1) as pbrt TriangleMesh::GetUVs
+    uv0 = scene["vuv"][idx[..., 0]]
+    uv1 = scene["vuv"][idx[..., 1]]
+    uv2 = scene["vuv"][idx[..., 2]]
+    has_uv = ((flags & HAS_UV) != 0)[..., None]
+    uv_default = jnp.concatenate(
+        [b1 + b2, b2], axis=-1)  # (u,v) = b1*(1,0)+b2*(1,1)
+    uv = jnp.where(has_uv, b0 * uv0 + b1 * uv1 + b2 * uv2, uv_default)
+
+    # dpdu/dpdv from uv deltas (pbrt Triangle::Intersect 2x2 solve)
+    du1 = jnp.where(has_uv[..., 0], uv1[..., 0] - uv0[..., 0], 1.0)
+    du2 = jnp.where(has_uv[..., 0], uv2[..., 0] - uv0[..., 0], 1.0)
+    dv1 = jnp.where(has_uv[..., 0], uv1[..., 1] - uv0[..., 1], 0.0)
+    dv2 = jnp.where(has_uv[..., 0], uv2[..., 1] - uv0[..., 1], 1.0)
+    det = du1 * dv2 - dv1 * du2
+    degen = jnp.abs(det) < 1e-12
+    invdet = 1.0 / jnp.where(degen, 1.0, det)
+    dpdu = (dv2[..., None] * e1 - dv1[..., None] * e2) * invdet[..., None]
+    dpdv = (-du2[..., None] * e1 + du1[..., None] * e2) * invdet[..., None]
+    t1, t2 = coordinate_system(ng)
+    dpdu = jnp.where(degen[..., None], t1, dpdu)
+    dpdv = jnp.where(degen[..., None], t2, dpdv)
+
+    # shading normal: interpolate vertex normals if present
+    n0 = scene["vnorm"][idx[..., 0]]
+    n1 = scene["vnorm"][idx[..., 1]]
+    n2 = scene["vnorm"][idx[..., 2]]
+    has_ns = ((flags & HAS_NS) != 0)[..., None]
+    ns_interp = normalize(b0 * n0 + b1 * n1 + b2 * n2)
+    ns_interp = jnp.where(rev[..., None], -ns_interp, ns_interp)
+    ns = jnp.where(has_ns, ns_interp, ng)
+    # keep ng on the same side as ns (pbrt GetShadingGeometry Faceforward)
+    ng = face_forward(ng, ns)
+
+    # shading frame (ss, ts, ns): orthonormalize dpdu against ns
+    ss = normalize(dpdu - ns * dot(ns, dpdu)[..., None])
+    bad_ss = jnp.sum(jnp.abs(ss), axis=-1) < 1e-9
+    ss_fb, _ = coordinate_system(ns)
+    ss = jnp.where(bad_ss[..., None], ss_fb, ss)
+    ts = cross(ns, ss)
+
+    return {
+        "p": p,
+        "ng": ng,
+        "ns": ns,
+        "ss": ss,
+        "ts": ts,
+        "uv": uv,
+        "dpdu": dpdu,
+        "dpdv": dpdv,
+        "mat": scene["tri_mat"][prim],
+        "light": scene["tri_light"][prim],
+        "ray_eps": 1e-3 * hit["t"],   # pbrt Triangle::Intersect rayEpsilon policy
+    }
+
+
+def world_to_local(sg, w):
+    """World direction → shading frame (pbrt BSDF::WorldToLocal)."""
+    return jnp.stack([dot(w, sg["ss"]), dot(w, sg["ts"]), dot(w, sg["ns"])], axis=-1)
+
+
+def local_to_world(sg, w):
+    return (w[..., 0:1] * sg["ss"] + w[..., 1:2] * sg["ts"] + w[..., 2:3] * sg["ns"])

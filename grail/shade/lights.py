@@ -1,0 +1,264 @@
+"""Light table + sampling — pbrt src/lights/* and src/core/light.{h,cpp} as SoA.
+
+Types: POINT, SPOT, DISTANT, AREA (diffuse, over triangle sets), INFINITE (lat-long
+env with 2D luminance·sinθ importance table), PROJECTION, GONIOMETRIC.
+`sample_li` is the masked-dispatch analog of Light::Sample_L(p, ...); area lights
+pick a triangle from a per-light area CDF then a uniform barycentric point, with the
+area→solid-angle Jacobian exactly as Shape::Pdf (src/core/shape.cpp).
+
+MIS divergence note (documented): for the BSDF-sampling branch, the pdf of hitting
+an area light is computed from the actually-hit triangle (t²/(|cosθ|·totalArea))
+rather than summing over every triangle along the direction as ShapeSet::Pdf does;
+MIS stays unbiased for any weights that partition unity.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.vecmath import (PI, TWO_PI, INV_PI, dot, normalize, length, length_sq,
+                            cross, spherical_theta, spherical_phi,
+                            spherical_direction)
+from ..core import montecarlo as mc
+from ..core import transform as tr
+
+POINT = 0
+SPOT = 1
+DISTANT = 2
+AREA = 3
+INFINITE = 4
+PROJECTION = 5
+GONIOMETRIC = 6
+
+WORLD_BIG = jnp.float32(1.0e7)
+
+
+def is_delta(light_type):
+    return (light_type == POINT) | (light_type == SPOT) | (light_type == DISTANT) \
+        | (light_type == PROJECTION) | (light_type == GONIOMETRIC)
+
+
+def _spot_falloff(lights, li, w_world):
+    """pbrt spot.cpp SpotLight::Falloff: smooth delta^4 between cone angles."""
+    wl = tr.xform_v(lights["w2l"][li], w_world)
+    costheta = wl[..., 2] / jnp.maximum(length(wl), 1e-12)
+    cos_total = lights["cos_total"][li]
+    cos_fall = lights["cos_falloff"][li]
+    delta = (costheta - cos_total) / jnp.maximum(cos_fall - cos_total, 1e-6)
+    delta = jnp.clip(delta, 0.0, 1.0)
+    return jnp.where(costheta < cos_total, 0.0,
+                     jnp.where(costheta > cos_fall, 1.0, delta ** 4))
+
+
+def _projection_factor(lights, li, w_world, images, light_image_rows):
+    """pbrt projection.cpp: project local dir through the perspective screen."""
+    if not light_image_rows:
+        return jnp.ones(w_world.shape[:-1], jnp.float32)
+    wl = tr.xform_v(lights["w2l"][li], w_world)
+    # project onto z=1 plane through proj matrix stored per light
+    proj = lights["proj"][li]                          # (...,4,4)
+    behind = wl[..., 2] < lights["proj_hither"][li]
+    pw = tr.xform_p(proj, wl)
+    s = (pw[..., 0] - lights["screen"][li, 0]) / (
+        lights["screen"][li, 1] - lights["screen"][li, 0])
+    t = (pw[..., 1] - lights["screen"][li, 2]) / (
+        lights["screen"][li, 3] - lights["screen"][li, 2])
+    inside = (~behind) & (s >= 0) & (s <= 1) & (t >= 0) & (t <= 1)
+    val = jnp.zeros(w_world.shape[:-1] + (3,), jnp.float32)
+    from .textures import image_bilinear
+    for row, img in light_image_rows.items():
+        m = (lights["image_row"][li] == row)
+        val = jnp.where(m[..., None], image_bilinear(images[img], s, t), val)
+    return jnp.where(inside[..., None], val, 0.0)
+
+
+def _gonio_factor(lights, li, w_world, images, light_image_rows):
+    """pbrt goniometric.cpp: lat-long lookup of the local direction."""
+    if not light_image_rows:
+        return jnp.ones(w_world.shape[:-1] + (3,), jnp.float32)
+    wl = normalize(tr.xform_v(lights["w2l"][li], w_world))
+    s = spherical_phi(wl) / TWO_PI
+    t = spherical_theta(wl) / PI
+    from .textures import image_bilinear
+    val = jnp.ones(w_world.shape[:-1] + (3,), jnp.float32)
+    for row, img in light_image_rows.items():
+        m = (lights["image_row"][li] == row)
+        val = jnp.where(m[..., None], image_bilinear(images[img], s, t), val)
+    return val
+
+
+def _area_sample(scene, li, p, u1, u2, u3):
+    """Sample a point on area light li: tri via area CDF, uniform barycentric.
+
+    Returns (wi, li_radiance_mask_cos, pdf_solidangle, dist, n_l)."""
+    lights = scene["lights"]
+    cdf = lights["acdf"][li]                          # (N, AT+1)
+    tri_slot = mc.batched_searchsorted(cdf, u3)       # (N,)
+    tri = lights["atri"][li, tri_slot]                # global tri index
+    idx = scene["tri_idx"][tri]
+    v0 = scene["verts"][idx[..., 0]]
+    v1 = scene["verts"][idx[..., 1]]
+    v2 = scene["verts"][idx[..., 2]]
+    b0, b1 = mc.uniform_sample_triangle(u1, u2)
+    pl = b0[..., None] * v0 + b1[..., None] * v1 + (1.0 - b0 - b1)[..., None] * v2
+    n_l = normalize(cross(v1 - v0, v2 - v0))
+    # orientation flags of the light's triangles
+    from .geometry import REVERSE_ORIENTATION, XFORM_SWAPS_HANDEDNESS
+    flags = scene["tri_flags"][tri]
+    flip = ((flags & REVERSE_ORIENTATION) != 0) ^ ((flags & XFORM_SWAPS_HANDEDNESS) != 0)
+    n_l = jnp.where(flip[..., None], -n_l, n_l)
+
+    vec = pl - p
+    dist2 = length_sq(vec)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    wi = vec / dist[..., None]
+    cos_l = dot(n_l, -wi)
+    # area pdf 1/totalArea → solid angle (pbrt Shape::Pdf conversion)
+    pdf = dist2 / jnp.maximum(jnp.abs(cos_l) * lights["area"][li], 1e-12)
+    return wi, n_l, cos_l, pdf, dist
+
+
+def sample_li(scene, li, p, u1, u2, u3, present_types):
+    """Light::Sample_L(p) masked over light types.
+
+    li (N,) light row per shade point; u1,u2 2D sample; u3 extra (area tri pick).
+    Returns dict: wi (N,3), radiance (N,3), pdf (N,), dist (N,) (shadow ray length;
+    WORLD_BIG for infinite/distant), delta (N,) bool.
+    """
+    lights = scene["lights"]
+    lt = lights["type"][li]
+    n = p.shape[0]
+    wi = jnp.zeros((n, 3), jnp.float32)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    pdf = jnp.zeros((n,), jnp.float32)
+    dist = jnp.full((n,), WORLD_BIG, jnp.float32)
+
+    def put(mask, wi_c, rad_c, pdf_c, dist_c):
+        nonlocal wi, radiance, pdf, dist
+        wi = jnp.where(mask[..., None], wi_c, wi)
+        radiance = jnp.where(mask[..., None], rad_c, radiance)
+        pdf = jnp.where(mask, pdf_c, pdf)
+        dist = jnp.where(mask, dist_c, dist)
+
+    emit = lights["emit"][li]
+    lpos = lights["l2w"][li, :3, 3]
+
+    if (POINT in present_types) or (SPOT in present_types) \
+            or (PROJECTION in present_types) or (GONIOMETRIC in present_types):
+        vec = lpos - p
+        d2 = jnp.maximum(length_sq(vec), 1e-20)
+        dd = jnp.sqrt(d2)
+        wi_p = vec / dd[..., None]
+        base = emit / d2[..., None]
+        if POINT in present_types:
+            put(lt == POINT, wi_p, base, jnp.ones_like(pdf), dd)
+        if SPOT in present_types:
+            fall = _spot_falloff(lights, li, -wi_p)
+            put(lt == SPOT, wi_p, base * fall[..., None], jnp.ones_like(pdf), dd)
+        if PROJECTION in present_types:
+            proj = _projection_factor(lights, li, -wi_p, scene.get("images", ()),
+                                      scene.get("_light_image_rows", {}))
+            put(lt == PROJECTION, wi_p, base * proj, jnp.ones_like(pdf), dd)
+        if GONIOMETRIC in present_types:
+            gon = _gonio_factor(lights, li, -wi_p, scene.get("images", ()),
+                                scene.get("_light_image_rows", {}))
+            put(lt == GONIOMETRIC, wi_p, base * gon, jnp.ones_like(pdf), dd)
+
+    if DISTANT in present_types:
+        wdir = lights["world_dir"][li]                # direction TO the light
+        put(lt == DISTANT, wdir, emit, jnp.ones_like(pdf), dist)
+
+    if AREA in present_types:
+        wi_a, n_l, cos_l, pdf_a, dist_a = _area_sample(scene, li, p, u1, u2, u3)
+        rad_a = jnp.where((cos_l > 0.0)[..., None], emit, 0.0)
+        put(lt == AREA, wi_a, rad_a, pdf_a, dist_a * (1.0 - 1e-3))
+
+    if INFINITE in present_types:
+        u, v, map_pdf = mc.sample_distribution_2d(scene["env_dist"], u1, u2)
+        theta = v * PI
+        phi = u * TWO_PI
+        sintheta = jnp.sin(theta)
+        wl = spherical_direction(sintheta, jnp.cos(theta), phi)
+        wi_e = tr.xform_v(lights["l2w"][li], wl)
+        pdf_e = map_pdf / jnp.maximum(2.0 * PI * PI * sintheta, 1e-9)
+        rad_e = env_radiance(scene, li, wi_e)
+        put(lt == INFINITE, wi_e, rad_e, pdf_e, dist)
+
+    return {"wi": wi, "radiance": radiance, "pdf": pdf, "dist": dist,
+            "delta": is_delta(lt)}
+
+
+def env_radiance(scene, li, w_world):
+    """InfiniteAreaLight::Le for direction(s) — lat-long map lookup."""
+    lights = scene["lights"]
+    wl = normalize(tr.xform_v(lights["w2l"][li], w_world))
+    s = spherical_phi(wl) / TWO_PI
+    t = spherical_theta(wl) / PI
+    emit = lights["emit"][li]
+    if scene.get("env_map") is None:
+        return emit
+    from .textures import image_bilinear
+    return emit * image_bilinear(scene["env_map"], s, t)
+
+
+def escaped_radiance(scene, d, present_types):
+    """Σ lights Le(ray) for escaped rays (pbrt Light::Le, infinite.cpp)."""
+    n = d.shape[0]
+    out = jnp.zeros((n, 3), jnp.float32)
+    if INFINITE not in present_types:
+        return out
+    li = scene["env_row"] * jnp.ones((n,), jnp.int32)
+    return env_radiance(scene, li, d)
+
+
+def env_pdf(scene, li, w_world):
+    """InfiniteAreaLight::Pdf(p, wi): map pdf with inverse lat-long Jacobian."""
+    lights = scene["lights"]
+    wl = normalize(tr.xform_v(lights["w2l"][li], w_world))
+    theta = spherical_theta(wl)
+    phi = spherical_phi(wl)
+    sintheta = jnp.maximum(jnp.sin(theta), 1e-6)
+    p2 = mc.distribution_2d_pdf(scene["env_dist"], phi / TWO_PI, theta / PI)
+    return p2 / (2.0 * PI * PI * sintheta)
+
+
+def area_light_emitted(scene, sg, wo_world):
+    """Intersection::Le — emitted radiance at a hit on an area-light triangle
+    (pbrt diffuse.cpp DiffuseAreaLight::L: Lemit if dot(n, w) > 0)."""
+    lights = scene["lights"]
+    li = jnp.maximum(sg["light"], 0)
+    emit = lights["emit"][li]
+    facing = dot(sg["ng"], wo_world) > 0.0
+    mask = (sg["light"] >= 0) & facing
+    return jnp.where(mask[..., None], emit, 0.0)
+
+
+def area_light_pdf_dir(scene, li, hit_t, cos_at_light):
+    """pdf (solid angle) that the area light would have sampled this direction —
+    uses the hit triangle's distance/cos and the light's TOTAL area (see module
+    docstring for the ShapeSet::Pdf divergence note)."""
+    lights = scene["lights"]
+    return (hit_t * hit_t) / jnp.maximum(
+        jnp.abs(cos_at_light) * lights["area"][li], 1e-12)
+
+
+def light_power(scene, static_meta=None):
+    """Approximate emitted power per light (pbrt Light::Power analogs) — drives the
+    power-weighted light-sampling distribution (ComputeLightSamplingCDF)."""
+    lights = scene["lights"]
+    from ..core.spectrum import luminance
+    lt = lights["type"]
+    emit_y = luminance(lights["emit"])
+    world_r = scene.get("world_radius", jnp.float32(100.0))
+    p_point = 4.0 * PI * emit_y
+    cos_total = lights.get("cos_total", jnp.zeros_like(emit_y))
+    cos_fall = lights.get("cos_falloff", jnp.zeros_like(emit_y))
+    p_spot = emit_y * 2.0 * PI * (1.0 - 0.5 * (cos_fall + cos_total))
+    p_dist = emit_y * PI * world_r * world_r
+    p_area = emit_y * lights["area"] * PI
+    p_inf = emit_y * PI * world_r * world_r
+    power = jnp.where(lt == POINT, p_point,
+            jnp.where(lt == SPOT, p_spot,
+            jnp.where(lt == DISTANT, p_dist,
+            jnp.where(lt == AREA, p_area,
+            jnp.where(lt == INFINITE, p_inf, p_point)))))
+    return jnp.maximum(power, 1e-9)

@@ -1,0 +1,93 @@
+"""End-to-end render tests: analytic furnace, Cornell sanity, filters, film."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grail.scene.presets import cornell_box, furnace
+from grail.engine.render import render, render_wave
+from grail.engine.integrator import IntegratorConfig
+from grail.engine import film as flm
+from grail.engine.filters import FilterConfig
+
+
+def test_furnace_albedo_one_disappears():
+    """White furnace: rho=1 Lambertian in unit env ⇒ sphere is invisible (L=1)."""
+    scene, meta, _ = furnace(xres=16, yres=16, spp=16, albedo=1.0)
+    img, _ = render(scene, meta, IntegratorConfig(kind="path", max_depth=3), spp=16)
+    img = np.asarray(img)
+    center = img[6:10, 6:10]
+    np.testing.assert_allclose(center.mean(), 1.0, atol=0.02)
+    np.testing.assert_allclose(center, 1.0, atol=0.2)  # per-pixel MC noise bound
+
+
+def test_furnace_albedo_rho():
+    """Convex sphere: exitant = rho·L_env (single env bounce, no interreflection)."""
+    scene, meta, _ = furnace(xres=16, yres=16, spp=16, albedo=0.5)
+    img, _ = render(scene, meta, IntegratorConfig(kind="path", max_depth=2), spp=16)
+    center = np.asarray(img)[6:10, 6:10]
+    np.testing.assert_allclose(center, 0.5, atol=0.05)
+
+
+def test_cornell_direct_sane(cornell_small):
+    scene, meta, _ = cornell_small
+    img, _ = render(scene, meta, IntegratorConfig(kind="direct", max_depth=1), spp=4)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.max() > 1.0          # light source visible
+    assert 0.01 < img[8:, :, :].mean() < 1.0   # interior lit
+
+
+def test_cornell_path_brighter_than_direct(cornell_small):
+    scene, meta, _ = cornell_small
+    d, _ = render(scene, meta, IntegratorConfig(kind="direct", max_depth=1), spp=4)
+    p, _ = render(scene, meta, IntegratorConfig(kind="path", max_depth=4), spp=4)
+    d, p = np.asarray(d), np.asarray(p)
+    # global illumination adds energy everywhere (statistically)
+    assert p.mean() > d.mean() * 1.02
+
+
+def test_checkpoint_resume_bitwise(cornell_small):
+    """Counter-based sampling ⇒ resume == uninterrupted run, bitwise (SURVEY §5.4)."""
+    scene, meta, _ = cornell_small
+    cfg = IntegratorConfig(kind="direct", max_depth=1)
+    img_a, film_a = render(scene, meta, cfg, spp=4)
+    _, film_half = render(scene, meta, cfg, spp=2)
+    img_b, _ = render(scene, meta, cfg, spp=4, film=film_half, start_wave=2)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+
+
+def test_film_filter_normalization():
+    """Constant radiance in ⇒ constant image out for any filter (partition test)."""
+    for name in ("box", "triangle", "gaussian", "mitchell"):
+        fcfg = FilterConfig.from_name(name)
+        film = flm.new_film(8, 8)
+        rs = np.random.RandomState(0)
+        n = 4096
+        sx = jnp.asarray(rs.rand(n).astype(np.float32) * 8)
+        sy = jnp.asarray(rs.rand(n).astype(np.float32) * 8)
+        L = jnp.ones((n, 3), jnp.float32) * 2.5
+        film = flm.add_samples(film, fcfg, sx, sy, L)
+        img = np.asarray(flm.develop(film))
+        inner = img[2:6, 2:6]  # avoid boundary truncation
+        np.testing.assert_allclose(inner, 2.5, rtol=1e-2)
+
+
+def test_whitted_and_ao_run(cornell_small):
+    scene, meta, _ = cornell_small
+    for kind in ("whitted", "ao"):
+        cfg = IntegratorConfig(kind=kind, max_depth=2, ao_samples=2, ao_maxdist=0.5)
+        img, _ = render(scene, meta, cfg, spp=2)
+        assert np.isfinite(np.asarray(img)).all()
+
+
+def test_light_strategies_agree(cornell_small):
+    """one/power/all strategies estimate the same direct lighting."""
+    scene, meta, _ = cornell_small
+    imgs = []
+    for strat in ("one", "power", "all"):
+        cfg = IntegratorConfig(kind="direct", max_depth=1, light_strategy=strat)
+        img, _ = render(scene, meta, cfg, spp=8)
+        imgs.append(np.asarray(img))
+    # single light: all strategies are identical estimators up to sampling noise
+    np.testing.assert_allclose(imgs[0].mean(), imgs[1].mean(), rtol=0.05)
+    np.testing.assert_allclose(imgs[0].mean(), imgs[2].mean(), rtol=0.05)

@@ -1,0 +1,54 @@
+"""Multi-device SPMD paths on the 8-virtual-CPU mesh (SURVEY §4 multi-node answer)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grail.scene.presets import cornell_box
+from grail.engine.render import render
+from grail.engine.integrator import IntegratorConfig
+from grail.dist.sharding import make_mesh, render_sharded, make_train_step
+
+
+@pytest.fixture(scope="module")
+def small():
+    return cornell_box(xres=16, yres=16, spp=2)
+
+
+def test_sharded_matches_single_device(small):
+    scene, meta, _ = small
+    cfg = IntegratorConfig(kind="direct", max_depth=1)
+    img1, _ = render(scene, meta, cfg, spp=2)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    img8, _ = render_sharded(scene, meta, cfg, spp=2, mesh=mesh)
+    # counter-based RNG: identical sampling regardless of sharding → identical image
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img8), atol=2e-5)
+
+
+def test_train_step_grads(small):
+    scene, meta, _ = small
+    cfg = IntegratorConfig(kind="direct", max_depth=1)
+    mesh = make_mesh()
+    target = jnp.zeros((meta.yres, meta.xres, 3), jnp.float32)
+    step = make_train_step(meta, cfg, mesh)
+    loss, grads = step(scene, target, jnp.uint32(0))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    g = np.asarray(grads["tex_data"]["const"])
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
