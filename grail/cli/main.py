@@ -1,0 +1,82 @@
+"""CLI — pbrt src/main/pbrt.cpp: parse scene file(s), render, write the image.
+
+Usage: python -m grail.cli.main [options] scene.pbrt [scene2.pbrt ...]
+       python -m grail.cli.main --outfile out.exr --quick scene.pbrt
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="grail",
+                                 description="TPU-native pbrt-compatible renderer")
+    ap.add_argument("scenes", nargs="+", help=".pbrt scene files ('-' = stdin)")
+    ap.add_argument("--outfile", default=None, help="override output image path")
+    ap.add_argument("--quick", action="store_true",
+                    help="1/4 samples for fast previews (pbrt --quick)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--spp", type=int, default=None, help="override samples/pixel")
+    ap.add_argument("--ncores", type=int, default=0, help="accepted for pbrt "
+                    "compatibility (parallelism is device-mesh based)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else
+        (logging.ERROR if args.quiet else logging.INFO),
+        format="grail: %(levelname)s: %(message)s")
+    log = logging.getLogger("grail")
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..scene.parser import parse_file, parse_string
+    from ..engine.render import render
+    from ..engine.imageio import write_image
+
+    for scene_path in args.scenes:
+        t0 = time.time()
+        try:
+            if scene_path == "-":
+                scene, meta, api = parse_string(sys.stdin.read())
+            else:
+                scene, meta, api = parse_file(scene_path)
+        except (OSError, ValueError) as e:
+            log.error("%s: %s", scene_path, e)
+            return 1
+        log.info("parsed %s: %d tris, %d lights, %d materials (%.1fs)",
+                 scene_path, meta.n_tris, meta.n_lights,
+                 scene["materials"]["lobe_type"].shape[0], time.time() - t0)
+
+        spp = args.spp if args.spp else meta.sampler.spp
+        if args.quick:
+            spp = max(1, spp // 4)
+        cfg = api.integrator_config
+
+        t0 = time.time()
+        done = [0]
+
+        def progress(s, total):
+            if not args.quiet and (s % max(1, total // 20) == 0 or s == total):
+                log.info("  wave %d/%d (%.1fs)", s, total, time.time() - t0)
+
+        img, film = render(scene, meta, cfg, spp=spp, progress=progress)
+        log.info("rendered %dx%d @ %dspp in %.1fs", meta.xres, meta.yres, spp,
+                 time.time() - t0)
+
+        out = args.outfile or api.out_filename
+        import numpy as np
+        write_image(out, np.asarray(img))
+        log.info("wrote %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

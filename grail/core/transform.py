@@ -252,3 +252,23 @@ def animated_eval(packed, time):
     m = m.at[..., :3, 3].set(t)
     m = m.at[..., 3, 3].set(1.0)
     return jnp.where(packed["animated"], m, jnp.broadcast_to(packed["m0"], m.shape))
+
+
+# --------------------------------------------------------------- host-side (numpy)
+def xform_p_np(m, p):
+    """Host: apply 4x4 to points (...,3) in numpy (scene build path)."""
+    m = np.asarray(m, np.float64)
+    p = np.asarray(p, np.float64)
+    r = p @ m[:3, :3].T + m[:3, 3]
+    w = p @ m[3, :3].T + m[3, 3]
+    return (r / w[..., None]).astype(np.float32)
+
+
+def xform_v_np(m, v):
+    m = np.asarray(m, np.float64)
+    return (np.asarray(v, np.float64) @ m[:3, :3].T).astype(np.float32)
+
+
+def xform_n_np(m_inv, n):
+    m_inv = np.asarray(m_inv, np.float64)
+    return (np.asarray(n, np.float64) @ m_inv[:3, :3]).astype(np.float32)
