@@ -59,6 +59,8 @@ class IntegratorConfig:
     light_strategy: str = "one"   # one (uniform) | power | all
     ao_samples: int = 1
     ao_maxdist: float = 1.0e7
+    vol: str = "emission"         # volume integrator: emission | single
+    vol_stepsize: float = 0.1     # accepted for pbrt parity (march is fixed-lane)
 
 
 def _bdim(bounce, off):
@@ -102,12 +104,18 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
     occluded = isect.intersect_p(
         scene, p + ls["wi"] * eps[..., None], ls["wi"],
         jnp.where(contrib_possible, ls["dist"] - 2.0 * eps, 0.0))
+    radiance = ls["radiance"]
+    if scene.get("media") is not None:
+        # VisibilityTester::Transmittance through participating media
+        from ..shade import media as med
+        radiance = radiance * med.transmittance(
+            scene, meta, p, ls["wi"], ls["dist"], jnp.full_like(cos_l, 0.5))
     bsdf_pdf_l = bx.bsdf_pdf(lobes, wo_local, wi_l, present, include_specular=False)
     w_l = jnp.where(ls["delta"], 1.0,
                     mc.power_heuristic(1.0, ls["pdf"], 1.0, bsdf_pdf_l))
     Ld = jnp.where(
         (contrib_possible & ~occluded)[..., None],
-        f_l * ls["radiance"] * (cos_l * w_l / _detach(jnp.maximum(ls["pdf"], 1e-12)))[..., None],
+        f_l * radiance * (cos_l * w_l / _detach(jnp.maximum(ls["pdf"], 1e-12)))[..., None],
         0.0)
 
     # ---- BSDF-sampling branch (non-delta lights only; pbrt EstimateDirect part 2)
@@ -186,10 +194,31 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
         raise ValueError(f"unknown integrator kind {cfg.kind!r}; "
                          "expected path|direct|whitted|ao")
 
+    has_media = scene.get("media") is not None
     max_depth = cfg.max_depth if cfg.kind in ("path", "whitted") else cfg.max_depth
     for bounce in range(max_depth + 1):
         hit = isect.intersect(scene, o, d, jnp.where(active, BIG, 0.0) * jnp.ones_like(eps))
         miss = hit["prim"] < 0
+
+        if has_media:
+            from ..shade import media as med
+            seg_t = jnp.where(miss, BIG, hit["t"])
+            if bounce == 0:
+                # renderer-level volume Li on the camera segment
+                # (samplerrenderer.cpp: T·Lsurf + Lv)
+                if cfg.vol == "single" and meta.n_lights > 0:
+                    Lv, T_seg = med.single_scatter_li(
+                        scene, meta, o, d, seg_t, pix, samp, 3000, cfg)
+                else:
+                    Lv, T_seg = med.emission_li(
+                        scene, meta, o, d, seg_t, pix, samp, 3000)
+                L += jnp.where(active[..., None], Lv, 0.0)
+            else:
+                # secondary segments attenuate only (pbrt Renderer::Transmittance)
+                u_j = rngmod.sample_1d(meta.sampler, pix, samp,
+                                       3001 + bounce * 300)
+                T_seg = med.transmittance(scene, meta, o, d, seg_t, u_j)
+            throughput = throughput * jnp.where(active[..., None], T_seg, 1.0)
 
         # escaped: env radiance only when direct-visible or after specular (pbrt
         # path.cpp: light->Le summed on miss for specular/0-bounce rays; MIS rays

@@ -733,9 +733,38 @@ class PbrtAPI:
 
     # ------------------------------------------------------------------ volumes
     def volume(self, name, params):
-        log.warning("Volume %r recorded; media integration lands with the "
-                    "volume engine", name)
-        self.volume_regions.append((name, params, self.ctm.t[0]))
+        """pbrtVolume → media region (src/volumes/*)."""
+        from ..shade import media as med
+        b = self.builder
+        common = dict(
+            v2w=self.ctm.t[0],
+            p0=params.find_one_point("p0", (0, 0, 0)),
+            p1=params.find_one_point("p1", (1, 1, 1)),
+            sigma_a=params.find_one_rgb("sigma_a", (0.45,) * 3),
+            sigma_s=params.find_one_rgb("sigma_s", (0.25,) * 3),
+            g=params.find_one_float("g", 0.0),
+            le=params.find_one_rgb("Le", (0, 0, 0)))
+        if name == "homogeneous":
+            b.add_volume(med.HOMOGENEOUS, **common)
+        elif name == "volumegrid":
+            nx = params.find_one_int("nx", 1)
+            ny = params.find_one_int("ny", 1)
+            nz = params.find_one_int("nz", 1)
+            dens = params.find_floats("density")
+            if dens is None:
+                log.warning("volumegrid without density ignored")
+                return
+            grid = np.asarray(dens, np.float32).reshape(nz, ny, nx)
+            b.add_volume(med.GRID, density=grid, **common)
+        elif name == "exponential":
+            b.add_volume(
+                med.EXPONENTIAL,
+                exp_a=params.find_one_float("a", 1.0),
+                exp_b=params.find_one_float("b", 1.0),
+                updir=params.find_one_point("updir", (0, 1, 0)), **common)
+        else:
+            log.warning("Unknown volume %r ignored", name)
+        params.report_unused(f'Volume "{name}"')
 
     # ------------------------------------------------------------------- finish
     def world_end(self):
@@ -809,6 +838,7 @@ class PbrtAPI:
                         self.integrator_name)
             ikind = "path"
         strat = self.integrator_params.find_one_string("strategy", "all")
+        vmap_ = {"emission": "emission", "single": "single"}
         self.integrator_config = IntegratorConfig(
             kind=ikind,
             max_depth=self.integrator_params.find_one_int("maxdepth", 5),
@@ -816,7 +846,10 @@ class PbrtAPI:
             if ikind == "direct" else "one",
             ao_samples=self.integrator_params.find_one_int("nsamples", 2048)
             if ikind == "ao" else 1,
-            ao_maxdist=self.integrator_params.find_one_float("maxdist", 1e7))
+            ao_maxdist=self.integrator_params.find_one_float("maxdist", 1e7),
+            vol=vmap_.get(self.vol_integrator_name, "emission"),
+            vol_stepsize=self.vol_integrator_params.find_one_float(
+                "stepsize", 0.1))
 
         if self.renderer_name not in ("sampler", ""):
             log.warning("Renderer %r falls back to the sampler renderer",

@@ -41,6 +41,7 @@ class SceneMeta:
     yres: int
     has_env_map: bool = False
     n_images: int = 0
+    media_kinds: Tuple[int, ...] = ()
 
 
 class SceneBuilder:
@@ -67,6 +68,8 @@ class SceneBuilder:
         self.env_map = None      # (H,W,3) np array or None
         self.env_row = -1
         self.use_bvh = None      # None = auto (n_tris > 64), True/False forced
+        self.media_regions = []  # list of dicts (add_volume)
+        self.density_grids = []
 
     # ------------------------------------------------------------------- textures
     def add_texture(self, spec: TexSpec, const=(0.0, 0.0, 0.0), w2t=None):
@@ -187,6 +190,26 @@ class SceneBuilder:
         if env_map is not None:
             self.env_map = np.asarray(env_map, np.float32)
 
+    # -------------------------------------------------------------------- volumes
+    def add_volume(self, vtype, v2w=None, p0=(0, 0, 0), p1=(1, 1, 1),
+                   sigma_a=(0.45, 0.45, 0.45), sigma_s=(0.25, 0.25, 0.25),
+                   g=0.0, le=(0, 0, 0), density=None, exp_a=1.0, exp_b=1.0,
+                   updir=(0, 1, 0)):
+        """vtype: media.HOMOGENEOUS | GRID | EXPONENTIAL; box [p0,p1] in volume
+        space, v2w the VolumeToWorld transform (pbrt src/volumes/*)."""
+        grid_id = -1
+        if density is not None:
+            grid_id = len(self.density_grids)
+            self.density_grids.append(np.asarray(density, np.float32))
+        self.media_regions.append(dict(
+            type=vtype, v2w=v2w if v2w is not None else tr.identity(),
+            p0=np.asarray(p0, np.float32), p1=np.asarray(p1, np.float32),
+            sigma_a=np.asarray(sigma_a, np.float32),
+            sigma_s=np.asarray(sigma_s, np.float32),
+            g=float(g), le=np.asarray(le, np.float32), grid_id=grid_id,
+            exp_a=float(exp_a), exp_b=float(exp_b),
+            updir=np.asarray(updir, np.float32)))
+
     # --------------------------------------------------------------------- finalize
     def finalize(self):
         n_tris = sum(len(t) for t in self.tri_idx)
@@ -306,6 +329,31 @@ class SceneBuilder:
                 else {kk: jnp.asarray(vv) for kk, vv in v.items()})
             for k, v in self.camera.items()}
 
+        # ---- participating media
+        if self.media_regions:
+            mr = self.media_regions
+            nv = len(mr)
+            scene["media"] = {
+                "type": jnp.asarray([m["type"] for m in mr], jnp.int32),
+                "v2w": jnp.asarray(np.stack([m["v2w"] for m in mr])),
+                "w2v": jnp.asarray(np.stack([tr.inverse(m["v2w"]) for m in mr])),
+                "bounds_min": jnp.asarray(np.stack([m["p0"] for m in mr])),
+                "bounds_max": jnp.asarray(np.stack([m["p1"] for m in mr])),
+                "sigma_a": jnp.asarray(np.stack([m["sigma_a"] for m in mr])),
+                "sigma_s": jnp.asarray(np.stack([m["sigma_s"] for m in mr])),
+                "g": jnp.asarray([m["g"] for m in mr], jnp.float32),
+                "le": jnp.asarray(np.stack([m["le"] for m in mr])),
+                "grid_id": jnp.asarray([m["grid_id"] for m in mr], jnp.int32),
+                "exp_a": jnp.asarray([m["exp_a"] for m in mr], jnp.float32),
+                "exp_b": jnp.asarray([m["exp_b"] for m in mr], jnp.float32),
+                "updir": jnp.asarray(np.stack([m["updir"] for m in mr])),
+            }
+            scene["density_grids"] = tuple(jnp.asarray(g)
+                                           for g in self.density_grids)
+        else:
+            scene["media"] = None
+            scene["density_grids"] = ()
+
         use_bvh = self.use_bvh if self.use_bvh is not None else n_tris > 64
         if use_bvh:
             from .bvh import build_bvh, bvh_to_device
@@ -328,5 +376,6 @@ class SceneBuilder:
             yres=self.yres,
             has_env_map=self.env_map is not None,
             n_images=len(self.images),
+            media_kinds=tuple(int(m["type"]) for m in self.media_regions),
         )
         return scene, meta
