@@ -68,13 +68,60 @@ def _bdim(bounce, off):
 
 
 def _shade_context(scene, meta, hit, o, d):
-    """Common post-hit work: shading geometry, textures, lobes, local wo."""
+    """Common post-hit work: shading geometry, bump, textures, lobes, local wo."""
     sg = geom.shading_geometry(scene, hit, o, d)
+    if getattr(meta, "has_bump", False):
+        sg = _apply_bump(scene, meta, sg)
     tex_values = eval_textures(meta.tex_specs, scene["tex_data"], sg,
                                scene.get("images", ()))
     lobes = mtl.gather_lobes(scene, sg, tex_values)
     wo_local = geom.world_to_local(sg, -d)
     return sg, lobes, wo_local
+
+
+def _apply_bump(scene, meta, sg):
+    """Material::Bump (pbrt material.cpp ~L20): finite-difference the
+    displacement texture along dpdu/dpdv and shear the shading frame."""
+    from ..shade.textures import eval_texture_rows
+    from ..core.vecmath import cross, normalize as vnorm
+
+    rows = getattr(meta, "bump_rows", ())
+    if not rows:
+        return sg
+
+    bump_tex = scene["materials"]["bump"][jnp.maximum(sg["mat"], 0)]  # (N,)
+    has = bump_tex >= 0
+    bt = jnp.maximum(bump_tex, 0)
+
+    du = 0.01  # pbrt fallback offset when no differentials
+    def displacement(sg_eval):
+        vals = eval_texture_rows(meta.tex_specs, scene["tex_data"], sg_eval,
+                                 rows, scene.get("images", ()))
+        return vals[bt, jnp.arange(bt.shape[0]), 0]
+
+    d0 = displacement(sg)
+    sg_u = dict(sg)
+    sg_u["p"] = sg["p"] + du * sg["dpdu"]
+    sg_u["uv"] = sg["uv"] + jnp.asarray([du, 0.0])
+    d_u = displacement(sg_u)
+    sg_v = dict(sg)
+    sg_v["p"] = sg["p"] + du * sg["dpdv"]
+    sg_v["uv"] = sg["uv"] + jnp.asarray([0.0, du])
+    d_v = displacement(sg_v)
+
+    dpdu_b = sg["dpdu"] + ((d_u - d0) / du)[..., None] * sg["ns"]
+    dpdv_b = sg["dpdv"] + ((d_v - d0) / du)[..., None] * sg["ns"]
+    ns_b = vnorm(cross(dpdu_b, dpdv_b))
+    # keep orientation consistent with the original shading normal
+    ns_b = jnp.where(dot(ns_b, sg["ns"])[..., None] < 0.0, -ns_b, ns_b)
+    ss_b = vnorm(dpdu_b - ns_b * dot(ns_b, dpdu_b)[..., None])
+    ts_b = cross(ns_b, ss_b)
+
+    out = dict(sg)
+    out["ns"] = jnp.where(has[..., None], ns_b, sg["ns"])
+    out["ss"] = jnp.where(has[..., None], ss_b, sg["ss"])
+    out["ts"] = jnp.where(has[..., None], ts_b, sg["ts"])
+    return out
 
 
 def _detach(x):

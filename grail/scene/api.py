@@ -373,23 +373,24 @@ class PbrtAPI:
         bump = tp.get_float_texture_or_none(b, "bumpmap")
 
         def lobe(**kw):
-            if bump is not None:
-                kw.setdefault("bump", bump)
             return kw
 
+        def add_mat(lobes):
+            return b.add_material(lobes, bump=bump)
+
         if mtype in ("", "none"):
-            return b.add_material([])
+            return add_mat([])
         if mtype == "matte":
             kd = tp.get_spectrum_texture(b, "Kd", (0.5, 0.5, 0.5))
             sigma = tp.get_float_texture(b, "sigma", 0.0)
-            return b.add_material([lobe(
+            return add_mat([lobe(
                 type=bx.OREN_NAYAR, s0=kd, f0=sigma, f0_conv=CONV_RADIANS)])
         if mtype == "plastic":
             kd = tp.get_spectrum_texture(b, "Kd", (0.25,) * 3)
             ks = tp.get_spectrum_texture(b, "Ks", (0.25,) * 3)
             rough = tp.get_float_texture(b, "roughness", 0.1)
             ior = b.const_tex((1.5,) * 3)
-            return b.add_material([
+            return add_mat([
                 lobe(type=bx.LAMBERT, s0=kd),
                 lobe(type=bx.BLINN, s0=ks, fr=bx.FR_DIELECTRIC, f0=rough,
                      f0_conv=CONV_INV, f2=ior)])
@@ -397,18 +398,18 @@ class PbrtAPI:
             kr = tp.get_spectrum_texture(b, "Kr", (1.0,) * 3)
             kt = tp.get_spectrum_texture(b, "Kt", (1.0,) * 3)
             index = tp.get_float_texture(b, "index", 1.5)
-            return b.add_material([
+            return add_mat([
                 lobe(type=bx.SPEC_REFL, s0=kr, fr=bx.FR_DIELECTRIC, f2=index),
                 lobe(type=bx.SPEC_TRANS, s0=kt, f2=index)])
         if mtype == "mirror":
             kr = tp.get_spectrum_texture(b, "Kr", (0.9,) * 3)
-            return b.add_material([lobe(type=bx.SPEC_REFL, s0=kr, fr=bx.FR_NOOP)])
+            return add_mat([lobe(type=bx.SPEC_REFL, s0=kr, fr=bx.FR_NOOP)])
         if mtype == "metal":
             eta = tp.get_spectrum_texture(b, "eta", COPPER_ETA)
             k = tp.get_spectrum_texture(b, "k", COPPER_K)
             rough = tp.get_float_texture(b, "roughness", 0.01)
             one = b.const_tex((1.0,) * 3)
-            return b.add_material([lobe(
+            return add_mat([lobe(
                 type=bx.BLINN, s0=one, s1=eta, s2=k, fr=bx.FR_CONDUCTOR,
                 f0=rough, f0_conv=CONV_INV)])
         if mtype == "shinymetal":
@@ -422,7 +423,7 @@ class PbrtAPI:
             kk = 2.0 * np.sqrt(kr_rgb) / np.sqrt(np.maximum(1.0 - kr_rgb, 1e-5))
             eta_t = b.const_tex(eta)
             k_t = b.const_tex(kk)
-            return b.add_material([
+            return add_mat([
                 lobe(type=bx.BLINN, s0=ks, s1=eta_t, s2=k_t, fr=bx.FR_CONDUCTOR,
                      f0=rough, f0_conv=CONV_INV),
                 lobe(type=bx.SPEC_REFL, s0=kr, s1=eta_t, s2=k_t,
@@ -432,7 +433,7 @@ class PbrtAPI:
             ks = tp.get_spectrum_texture(b, "Ks", (0.5,) * 3)
             ur = tp.get_float_texture(b, "uroughness", 0.1)
             vr = tp.get_float_texture(b, "vroughness", 0.1)
-            return b.add_material([lobe(
+            return add_mat([lobe(
                 type=bx.FRESNEL_BLEND, s0=kd, s1=ks, f0=ur, f1=vr,
                 f0_conv=CONV_INV, f1_conv=CONV_INV)])
         if mtype == "translucent":
@@ -446,7 +447,7 @@ class PbrtAPI:
             rks = b.add_texture(TexSpec(kind="scale", inputs=(refl, ks)))
             tkd = b.add_texture(TexSpec(kind="scale", inputs=(trans, kd)))
             tks = b.add_texture(TexSpec(kind="scale", inputs=(trans, ks)))
-            return b.add_material([
+            return add_mat([
                 lobe(type=bx.LAMBERT, s0=rkd),
                 lobe(type=bx.BLINN, s0=rks, fr=bx.FR_DIELECTRIC, f0=rough,
                      f0_conv=CONV_INV, f2=ior),
@@ -475,7 +476,7 @@ class PbrtAPI:
                 # opacity pass-through: (1-op)·SpecularTransmission with ior 1
                 lobe(type=bx.SPEC_TRANS, s0=inv_op, f2=unity_ior),
             ]
-            return b.add_material(lobes)
+            return add_mat(lobes)
         if mtype == "mix":
             m1 = tp.find_one_string("namedmaterial1", "")
             m2 = tp.find_one_string("namedmaterial2", "")
@@ -499,12 +500,12 @@ class PbrtAPI:
                 l2["s0"] = b.add_texture(TexSpec(kind="scale",
                                                  inputs=(inv_amount, l["s0"])))
                 lobes.append(l2)
-            return b.add_material(lobes)
+            return add_mat(lobes)
         if mtype in ("measured", "subsurface", "kdsubsurface"):
             log.warning("Material %r not yet implemented on device; "
                         "substituting matte (SURVEY backlog)", mtype)
             kd = tp.get_spectrum_texture(b, "Kd", (0.5, 0.5, 0.5))
-            return b.add_material([lobe(type=bx.LAMBERT, s0=kd)])
+            return add_mat([lobe(type=bx.LAMBERT, s0=kd)])
         log.warning("Unknown material %r; using matte", mtype)
         return b.matte()
 

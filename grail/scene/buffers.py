@@ -42,6 +42,8 @@ class SceneMeta:
     has_env_map: bool = False
     n_images: int = 0
     media_kinds: Tuple[int, ...] = ()
+    has_bump: bool = False
+    bump_rows: Tuple[int, ...] = ()
 
 
 class SceneBuilder:
@@ -59,6 +61,7 @@ class SceneBuilder:
         self.tex_w2t = []
         self.images = []
         self.mat_rows = []       # list of list-of-lobe dicts
+        self.mat_bump = []       # per-material bump float-texture id (-1 none)
         self.lights = []         # list of dicts
         self.camera = None
         self.sampler = SamplerConfig()
@@ -91,10 +94,12 @@ class SceneBuilder:
         return len(self.images) - 1
 
     # ------------------------------------------------------------------ materials
-    def add_material(self, lobes):
+    def add_material(self, lobes, bump=None):
         """lobes: list of dicts with keys type, fr, s0, s1, s2, f0, f1, f2,
-        f0_conv, f1_conv (texture ids for s*/f*; missing keys defaulted)."""
+        f0_conv, f1_conv (texture ids for s*/f*; missing keys defaulted).
+        bump: optional float-texture id for Material::Bump displacement."""
         self.mat_rows.append(list(lobes))
+        self.mat_bump.append(-1 if bump is None else int(bump))
         return len(self.mat_rows) - 1
 
     def matte(self, kd_tex=None, kd=(0.5, 0.5, 0.5), sigma_tex=None):
@@ -247,6 +252,10 @@ class SceneBuilder:
                 fields["f0_conv"][mi, ki] = lobe.get("f0_conv", CONV_ID)
                 fields["f1_conv"][mi, ki] = lobe.get("f1_conv", CONV_ID)
         scene["materials"] = {k: jnp.asarray(v) for k, v in fields.items()}
+        bump_arr = np.full(M, -1, np.int32)
+        for mi, bt in enumerate(self.mat_bump):
+            bump_arr[mi] = bt
+        scene["materials"]["bump"] = jnp.asarray(bump_arr)
         lobe_types = tuple(sorted({int(t) for r in self.mat_rows
                                    for t in (l.get("type", bx.NONE) for l in r)}
                                   - {bx.NONE}))
@@ -377,5 +386,7 @@ class SceneBuilder:
             has_env_map=self.env_map is not None,
             n_images=len(self.images),
             media_kinds=tuple(int(m["type"]) for m in self.media_regions),
+            has_bump=any(bt >= 0 for bt in self.mat_bump),
+            bump_rows=tuple(sorted({bt for bt in self.mat_bump if bt >= 0})),
         )
         return scene, meta

@@ -193,6 +193,9 @@ class TextureParams:
     def find_one_float(self, name, default):
         return self.geom.find_one_float(name, self.mat.find_one_float(name, default))
 
+    def find_one_int(self, name, default):
+        return self.geom.find_one_int(name, self.mat.find_one_int(name, default))
+
     def find_one_string(self, name, default):
         return self.geom.find_one_string(name, self.mat.find_one_string(name, default))
 

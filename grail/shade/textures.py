@@ -312,3 +312,30 @@ def image_bilinear(img, s, t):
     fy = fy[..., None]
     return ((1 - fx) * (1 - fy) * v00 + (1 - fx) * fy * v01
             + fx * (1 - fy) * v10 + fx * fy * v11)
+
+
+def rows_closure(tex_specs, rows):
+    """Transitive input closure of texture rows (host-side, static)."""
+    needed = set()
+    stack = [r for r in rows if r >= 0]
+    while stack:
+        r = stack.pop()
+        if r in needed:
+            continue
+        needed.add(r)
+        stack.extend(tex_specs[r].inputs)
+    return frozenset(needed)
+
+
+def eval_texture_rows(tex_specs, tex_data, sg, rows, images=()):
+    """Evaluate only `rows` (+ their inputs); other rows become zeros.
+
+    Returns (NT, N, 3) aligned with the full table (cheap: skipped rows are
+    broadcast zeros that XLA folds away)."""
+    needed = rows_closure(tex_specs, rows)
+    n = sg["p"].shape[0]
+    full = eval_textures(
+        tuple(s if i in needed else TexSpec(kind="const")
+              for i, s in enumerate(tex_specs)),
+        tex_data, sg, images)
+    return full
