@@ -61,6 +61,11 @@ class IntegratorConfig:
     ao_maxdist: float = 1.0e7
     vol: str = "emission"         # volume integrator: emission | single
     vol_stepsize: float = 0.1     # accepted for pbrt parity (march is fixed-lane)
+    # instant GI (igi.cpp): VPL paths per set, sets, shoot depth, G clamp
+    igi_n_paths: int = 64
+    igi_n_sets: int = 4
+    igi_max_depth: int = 3
+    igi_g_limit: float = 10.0
 
 
 def _bdim(bounce, off):
@@ -237,9 +242,15 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
 
     if cfg.kind == "ao":
         return _ao_li(scene, meta, cfg, rays, pix, samp)
-    if cfg.kind not in ("path", "direct", "whitted"):
+    if cfg.kind not in ("path", "direct", "whitted", "igi"):
         raise ValueError(f"unknown integrator kind {cfg.kind!r}; "
-                         "expected path|direct|whitted|ao")
+                         "expected path|direct|whitted|ao|igi")
+
+    vpls = None
+    if cfg.kind == "igi":
+        from .igi import generate_vpls
+        # VPL set rotates with the wave index (igi.cpp picks a set per sample)
+        vpls = generate_vpls(scene, meta, cfg, samp[0] % cfg.igi_n_sets)
 
     has_media = scene.get("media") is not None
     max_depth = cfg.max_depth if cfg.kind in ("path", "whitted") else cfg.max_depth
@@ -282,6 +293,13 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
         if lt.AREA in meta.light_types:
             L += jnp.where((active & spec_bounce)[..., None],
                            throughput * lt.area_light_emitted(scene, sg, -d), 0.0)
+
+        # ---- instant GI: VPL gather (igi.cpp Li indirect term)
+        if vpls is not None:
+            from .igi import vpl_radiance
+            Lv_igi = vpl_radiance(scene, meta, cfg, sg, lobes, wo_local, vpls,
+                                  active)
+            L += jnp.where(active[..., None], throughput * Lv_igi, 0.0)
 
         # ---- direct lighting
         if meta.n_lights > 0 and cfg.kind != "whitted":
@@ -347,7 +365,7 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
         cos_c = absdot(wi_w, sg["ns"])
         contrib = bs["f"] * (cos_c / _detach(jnp.maximum(bs["pdf"], 1e-12)))[..., None]
         cont_ok = bs["valid"] & jnp.any(bs["f"] != 0.0, axis=-1)
-        if cfg.kind in ("direct", "whitted"):
+        if cfg.kind in ("direct", "whitted", "igi"):
             cont_ok = cont_ok & bs["specular"]   # only specular recursion
         throughput = jnp.where(cont_ok[..., None], throughput * contrib, throughput)
         active = active & cont_ok

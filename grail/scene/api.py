@@ -832,7 +832,7 @@ class PbrtAPI:
 
         # integrator
         imap = {"path": "path", "directlighting": "direct", "whitted": "whitted",
-                "ambientocclusion": "ao"}
+                "ambientocclusion": "ao", "igi": "igi"}
         ikind = imap.get(self.integrator_name)
         if ikind is None:
             log.warning("Surface integrator %r not yet implemented; using path",
@@ -850,7 +850,10 @@ class PbrtAPI:
             ao_maxdist=self.integrator_params.find_one_float("maxdist", 1e7),
             vol=vmap_.get(self.vol_integrator_name, "emission"),
             vol_stepsize=self.vol_integrator_params.find_one_float(
-                "stepsize", 0.1))
+                "stepsize", 0.1),
+            igi_n_paths=self.integrator_params.find_one_int("nlights", 64),
+            igi_n_sets=self.integrator_params.find_one_int("nsets", 4),
+            igi_g_limit=self.integrator_params.find_one_float("glimit", 10.0))
 
         if self.renderer_name not in ("sampler", ""):
             log.warning("Renderer %r falls back to the sampler renderer",

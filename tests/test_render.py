@@ -91,3 +91,18 @@ def test_light_strategies_agree(cornell_small):
     # single light: all strategies are identical estimators up to sampling noise
     np.testing.assert_allclose(imgs[0].mean(), imgs[1].mean(), rtol=0.05)
     np.testing.assert_allclose(imgs[0].mean(), imgs[2].mean(), rtol=0.05)
+
+
+def test_igi_approximates_path(cornell_small):
+    """igi.cpp VPL estimate ≈ path-traced GI (G-clamp bias allowed)."""
+    scene, meta, _ = cornell_small
+    from grail.engine.integrator import IntegratorConfig
+    igi, _ = render(scene, meta,
+                    IntegratorConfig(kind="igi", max_depth=2, igi_n_paths=32,
+                                     igi_n_sets=2, igi_max_depth=3), spp=4)
+    path, _ = render(scene, meta,
+                     IntegratorConfig(kind="path", max_depth=5), spp=4)
+    igi, path = np.asarray(igi), np.asarray(path)
+    assert np.isfinite(igi).all()
+    # VPL GI within a factor band of the path reference (clamp loses some energy)
+    assert 0.5 * path.mean() < igi.mean() < 1.3 * path.mean()
