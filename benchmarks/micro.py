@@ -35,6 +35,7 @@ def timeit(name, fn, *args, iters=20):
 
 def main():
     n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    skip_bvh = os.environ.get("MICRO_SKIP_BVH", "0") == "1"
     n = 1 << n_log2
     print(f"backend={jax.default_backend()} n_rays={n}")
 
@@ -64,16 +65,19 @@ def main():
     timeit("intersect brute 36 tris", brute, rays["o"], rays["d"])
 
     # BVH on a 35k-tri sphere mesh
+    if skip_bvh:
+        print("  (BVH stage skipped)")
     from grail.scene.bvh import build_bvh, bvh_to_device
     verts, idx = tessellate_sphere(radius=1.0, nu=240, nv=74)
     bscene = {"verts": jnp.asarray(verts),
               "tri_idx": jnp.asarray(idx.astype(np.int32))}
     bscene["bvh"] = bvh_to_device(build_bvh(verts, idx))
     print(f"  (sphere mesh: {len(idx)} tris, {len(bscene['bvh']['right'])} nodes)")
-    from grail.kernels.bvh_traverse import bvh_intersect
-    bvhfn = jax.jit(lambda o, d: bvh_intersect(bscene, o, d, tmax))
-    o_far = rays["o"] * 0 + jnp.asarray([0.0, 0.0, 4.0])
-    timeit("intersect BVH 35k tris", bvhfn, o_far, rays["d"])
+    if not skip_bvh:
+        from grail.kernels.bvh_traverse import bvh_intersect
+        bvhfn = jax.jit(lambda o, d: bvh_intersect(bscene, o, d, tmax))
+        o_far = rays["o"] * 0 + jnp.asarray([0.0, 0.0, 4.0])
+        timeit("intersect BVH 35k tris", bvhfn, o_far, rays["d"])
 
     hit = brute(rays["o"], rays["d"])
     shade = jax.jit(lambda: _shade_context(scene, meta, hit, rays["o"], rays["d"]))

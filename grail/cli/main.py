@@ -60,6 +60,22 @@ def main(argv=None):
             spp = max(1, spp // 4)
         cfg = api.integrator_config
 
+        if getattr(api, "mlt_config", None) is not None:
+            from ..engine.metropolis import render_mlt
+            t0 = time.time()
+            n_waves = max(1, (meta.xres * meta.yres * api.mlt_spp)
+                          // (api.mlt_config.n_chains
+                              * api.mlt_config.mutations_per_wave))
+            img, film = render_mlt(scene, meta, api.mlt_config,
+                                   n_waves=n_waves)
+            log.info("MLT rendered %dx%d (%d waves) in %.1fs", meta.xres,
+                     meta.yres, n_waves, time.time() - t0)
+            out = args.outfile or api.out_filename
+            import numpy as np
+            write_image(out, np.asarray(img))
+            log.info("wrote %s", out)
+            continue
+
         t0 = time.time()
         done = [0]
 

@@ -855,7 +855,20 @@ class PbrtAPI:
             igi_n_sets=self.integrator_params.find_one_int("nsets", 4),
             igi_g_limit=self.integrator_params.find_one_float("glimit", 10.0))
 
-        if self.renderer_name not in ("sampler", ""):
+        self.mlt_config = None
+        if self.renderer_name == "metropolis":
+            from ..engine.metropolis import MLTConfig
+            rp = self.renderer_params
+            self.mlt_config = MLTConfig(
+                max_depth=rp.find_one_int("maxdepth", 7),
+                n_bootstrap=rp.find_one_int("bootstrapsamples", 4096),
+                large_step_prob=rp.find_one_float("largestepprobability", 0.25),
+                mutations_per_wave=16)
+            self.mlt_spp = rp.find_one_int("samplesperpixel", 32)
+            if rp.find_one_bool("bidirectional", True):
+                log.warning("MLT bidirectional paths pending; using "
+                            "camera-path PSS-MLT")
+        elif self.renderer_name not in ("sampler", "aggregatetest", ""):
             log.warning("Renderer %r falls back to the sampler renderer",
                         self.renderer_name)
         if self.accelerator_name not in ("bvh", ""):

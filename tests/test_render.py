@@ -106,3 +106,18 @@ def test_igi_approximates_path(cornell_small):
     assert np.isfinite(igi).all()
     # VPL GI within a factor band of the path reference (clamp loses some energy)
     assert 0.5 * path.mean() < igi.mean() < 1.3 * path.mean()
+
+
+def test_mlt_matches_path_mean(cornell_small):
+    """PSS-MLT normalization: image mean must match the path tracer."""
+    scene, meta, _ = cornell_small
+    from grail.engine.metropolis import MLTConfig, render_mlt
+    mlt, _ = render_mlt(scene, meta,
+                        MLTConfig(max_depth=3, n_chains=2048,
+                                  n_bootstrap=4096, mutations_per_wave=8),
+                        n_waves=4)
+    path, _ = render(scene, meta, IntegratorConfig(kind="path", max_depth=3),
+                     spp=8)
+    mlt, path = np.asarray(mlt), np.asarray(path)
+    assert np.isfinite(mlt).all()
+    np.testing.assert_allclose(mlt.mean(), path.mean(), rtol=0.25)
