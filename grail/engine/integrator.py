@@ -66,6 +66,10 @@ class IntegratorConfig:
     igi_n_sets: int = 4
     igi_max_depth: int = 3
     igi_g_limit: float = 10.0
+    # photon mapping (photonmap.cpp)
+    photon_paths: int = 4096
+    photon_radius: float = 0.15
+    photon_final_gather: bool = True
 
 
 def _bdim(bounce, off):

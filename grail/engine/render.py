@@ -20,12 +20,14 @@ from . import film as flm
 from .integrator import IntegratorConfig, li, SLOT_FILM, SLOT_LENS, SLOT_TIME
 
 
-def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None):
+def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
+                aux=None):
     """One sample-per-pixel wave: raygen → Li → film accumulate.
 
     pix: optional (N,) pixel ids to render (defaults to all); samp_idx scalar.
     mask: optional (N,) bool — lanes with False contribute nothing (used for
     padding when the pixel axis is sharded across devices).
+    aux: integrator preprocessing output (photon map, SH probes...).
     """
     if pix is None:
         pix = jnp.arange(meta.xres * meta.yres, dtype=jnp.uint32)
@@ -39,7 +41,13 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None):
 
     rays = cam.generate_rays(scene["camera"], px, py, ufx, ufy, ul1, ul2, ut,
                              meta.cam_kind)
-    L = li(scene, meta, cfg, rays, pix, samp)
+    if cfg.kind == "photon":
+        from .photonmap import photon_li, PhotonConfig
+        pcfg = PhotonConfig(n_paths=cfg.photon_paths, radius=cfg.photon_radius,
+                            final_gather=cfg.photon_final_gather)
+        L = photon_li(scene, meta, pcfg, cfg, rays, pix, samp, aux)
+    else:
+        L = li(scene, meta, cfg, rays, pix, samp)
     # NaN/Inf quarantine (samplerrenderer.cpp ::Run checks) — drop bad samples
     bad = jnp.any(~jnp.isfinite(L), axis=-1)
     L = jnp.where(bad[..., None], 0.0, L)
@@ -51,8 +59,8 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None):
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _render_wave_jit(scene, meta, cfg, film, samp_idx):
-    return render_wave(scene, meta, cfg, film, samp_idx)
+def _render_wave_jit(scene, meta, cfg, film, samp_idx, aux=None):
+    return render_wave(scene, meta, cfg, film, samp_idx, aux=aux)
 
 
 def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0,
@@ -64,8 +72,14 @@ def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0
     spp = spp if spp is not None else meta.sampler.spp
     if film is None:
         film = flm.new_film(meta.xres, meta.yres)
+    aux = None
+    if cfg.kind == "photon":
+        from .photonmap import shoot_photons, PhotonConfig
+        pcfg = PhotonConfig(n_paths=cfg.photon_paths, radius=cfg.photon_radius,
+                            final_gather=cfg.photon_final_gather)
+        aux = jax.jit(shoot_photons, static_argnums=(1, 2))(scene, meta, pcfg)
     for s in range(start_wave, spp):
-        film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(s))
+        film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(s), aux)
         if progress is not None:
             progress(s + 1, spp)
     img = flm.develop(film)

@@ -832,7 +832,8 @@ class PbrtAPI:
 
         # integrator
         imap = {"path": "path", "directlighting": "direct", "whitted": "whitted",
-                "ambientocclusion": "ao", "igi": "igi"}
+                "ambientocclusion": "ao", "igi": "igi", "photonmap": "photon",
+                "exphotonmap": "photon"}
         ikind = imap.get(self.integrator_name)
         if ikind is None:
             log.warning("Surface integrator %r not yet implemented; using path",
@@ -853,7 +854,12 @@ class PbrtAPI:
                 "stepsize", 0.1),
             igi_n_paths=self.integrator_params.find_one_int("nlights", 64),
             igi_n_sets=self.integrator_params.find_one_int("nsets", 4),
-            igi_g_limit=self.integrator_params.find_one_float("glimit", 10.0))
+            igi_g_limit=self.integrator_params.find_one_float("glimit", 10.0),
+            photon_paths=self.integrator_params.find_one_int(
+                "indirectphotons", 16384) // 4,
+            photon_radius=self.integrator_params.find_one_float("maxdist", 0.1),
+            photon_final_gather=self.integrator_params.find_one_bool(
+                "finalgather", True))
 
         self.mlt_config = None
         if self.renderer_name == "metropolis":

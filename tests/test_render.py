@@ -121,3 +121,16 @@ def test_mlt_matches_path_mean(cornell_small):
     mlt, path = np.asarray(mlt), np.asarray(path)
     assert np.isfinite(mlt).all()
     np.testing.assert_allclose(mlt.mean(), path.mean(), rtol=0.25)
+
+
+def test_photonmap_approximates_path(cornell_small):
+    """photonmap.cpp estimate in the GI ballpark of the path tracer."""
+    scene, meta, _ = cornell_small
+    ph, _ = render(scene, meta,
+                   IntegratorConfig(kind="photon", photon_paths=4096,
+                                    photon_radius=0.3), spp=4)
+    path, _ = render(scene, meta, IntegratorConfig(kind="path", max_depth=5),
+                     spp=4)
+    ph, path = np.asarray(ph), np.asarray(path)
+    assert np.isfinite(ph).all()
+    assert 0.5 * path.mean() < ph.mean() < 1.4 * path.mean()
