@@ -106,7 +106,10 @@ def _apply_bump(scene, meta, sg):
     def displacement(sg_eval):
         vals = eval_texture_rows(meta.tex_specs, scene["tex_data"], sg_eval,
                                  rows, scene.get("images", ()))
-        return vals[bt, jnp.arange(bt.shape[0]), 0]
+        # one-hot contraction instead of a 2D advanced-index gather (the
+        # latter hits a pathologically slow XLA:TPU gather compile path)
+        oh = jax.nn.one_hot(bt, vals.shape[0], dtype=jnp.float32)  # (N,R)
+        return jnp.einsum("nr,rn->n", oh, vals[..., 0], precision="highest")
 
     d0 = displacement(sg)
     sg_u = dict(sg)
@@ -238,11 +241,16 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
     """
     o, d = rays["o"], rays["d"]
     n = o.shape[0]
-    L = jnp.zeros((n, 3), jnp.float32)
-    throughput = jnp.ones((n, 3), jnp.float32)
-    active = jnp.ones((n,), jnp.bool_)
-    spec_bounce = jnp.ones((n,), jnp.bool_)   # bounce-0 emission counts
-    eps = jnp.zeros((n,), jnp.float32)
+    # Derive the loop-carry seeds from the (possibly device-varying) ray
+    # arrays rather than fresh constants: under shard_map the fori_loop carry
+    # must enter with the same varying-axis type it exits with.
+    zero3 = o * 0.0
+    L = zero3
+    throughput = zero3 + 1.0
+    z0 = zero3[:, 0]
+    active = (z0 == 0.0) | (z0 != 0.0)         # all True (even NaN lanes), varying like o
+    spec_bounce = active                       # bounce-0 emission counts
+    eps = zero3[:, 0]
 
     if cfg.kind == "ao":
         return _ao_li(scene, meta, cfg, rays, pix, samp)
@@ -258,28 +266,34 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
 
     has_media = scene.get("media") is not None
     max_depth = cfg.max_depth if cfg.kind in ("path", "whitted") else cfg.max_depth
-    for bounce in range(max_depth + 1):
+
+    def bounce_body(bounce, state):
+        o, d, L, throughput, active, spec_bounce = state
+        eps = jnp.zeros((n,), jnp.float32)
         hit = isect.intersect(scene, o, d, jnp.where(active, BIG, 0.0) * jnp.ones_like(eps))
         miss = hit["prim"] < 0
 
         if has_media:
             from ..shade import media as med
             seg_t = jnp.where(miss, BIG, hit["t"])
-            if bounce == 0:
+
+            def camera_seg(_):
                 # renderer-level volume Li on the camera segment
                 # (samplerrenderer.cpp: T·Lsurf + Lv)
                 if cfg.vol == "single" and meta.n_lights > 0:
-                    Lv, T_seg = med.single_scatter_li(
+                    return med.single_scatter_li(
                         scene, meta, o, d, seg_t, pix, samp, 3000, cfg)
-                else:
-                    Lv, T_seg = med.emission_li(
-                        scene, meta, o, d, seg_t, pix, samp, 3000)
-                L += jnp.where(active[..., None], Lv, 0.0)
-            else:
-                # secondary segments attenuate only (pbrt Renderer::Transmittance)
+                return med.emission_li(scene, meta, o, d, seg_t, pix, samp, 3000)
+
+            def secondary_seg(_):
+                # secondary segments attenuate only (Renderer::Transmittance)
                 u_j = rngmod.sample_1d(meta.sampler, pix, samp,
                                        3001 + bounce * 300)
-                T_seg = med.transmittance(scene, meta, o, d, seg_t, u_j)
+                return (jnp.zeros((n, 3), jnp.float32),
+                        med.transmittance(scene, meta, o, d, seg_t, u_j))
+
+            Lv, T_seg = jax.lax.cond(bounce == 0, camera_seg, secondary_seg, None)
+            L += jnp.where(active[..., None], Lv, 0.0)
             throughput = throughput * jnp.where(active[..., None], T_seg, 1.0)
 
         # escaped: env radiance only when direct-visible or after specular (pbrt
@@ -289,7 +303,6 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
                        throughput * lt.escaped_radiance(scene, d, meta.light_types),
                        0.0)
         active = active & ~miss
-        any_active_static = True  # static loop; lanes masked
 
         sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d)
 
@@ -357,10 +370,8 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
                                 0.0)
             L += jnp.where(active[..., None], throughput * Ld, 0.0)
 
-        if bounce == max_depth:
-            break
-
-        # ---- continuation: sample BSDF
+        # ---- continuation: sample BSDF (a no-op for the final iteration: the
+        # loop exits before the next intersect, so only dead state is written)
         u_dir = rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_DIR))
         u_comp = rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_COMP))
         bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp,
@@ -376,8 +387,10 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
         spec_bounce = bs["specular"]
 
         # ---- Russian roulette (path.cpp: after rr_depth bounces)
-        if cfg.kind == "path" and bounce >= cfg.rr_depth:
-            q = jnp.minimum(0.5, luminance(_detach(throughput)))
+        if cfg.kind == "path":
+            q = jnp.where(bounce >= cfg.rr_depth,
+                          jnp.minimum(0.5, luminance(_detach(throughput))),
+                          1.0)
             u_rr = rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_RR))
             survive = u_rr < q
             active = active & survive
@@ -385,8 +398,11 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
 
         o = sg["p"] + wi_w * sg["ray_eps"][..., None]
         d = wi_w
-        eps = sg["ray_eps"]
+        return (o, d, L, throughput, active, spec_bounce)
 
+    state = (o, d, L, throughput, active, spec_bounce)
+    state = jax.lax.fori_loop(0, max_depth + 1, bounce_body, state)
+    L = state[2]
     return L * rays["weight"][..., None]
 
 

@@ -88,6 +88,24 @@ def intersect_p_brute(scene, o, d, tmax, tmin=None):
     return jnp.any(hit, axis=1)
 
 
+def _pallas_ok():
+    import os
+    if os.environ.get("GRAIL_NO_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _brute_pallas(scene, o, d, tmax, tmin):
+    from .pallas_intersect import brute_intersect_pallas, pack_tris
+    n = o.shape[0]
+    if tmin is None:
+        tmin = jnp.zeros((n,), jnp.float32)
+    t, prim, b1, b2 = brute_intersect_pallas(
+        pack_tris(scene), o, d, tmin, tmax)
+    hit = prim >= 0
+    return {"t": jnp.where(hit, t, BIG_T), "prim": prim, "b1": b1, "b2": b2}
+
+
 def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
     """Scene intersection dispatch (Scene::Intersect analog)."""
     if use_bvh is None:
@@ -95,6 +113,8 @@ def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
     if use_bvh:
         from .bvh_traverse import bvh_intersect
         return bvh_intersect(scene, o, d, tmax, tmin)
+    if _pallas_ok():
+        return _brute_pallas(scene, o, d, tmax, tmin)
     return intersect_brute(scene, o, d, tmax, tmin)
 
 
@@ -105,4 +125,6 @@ def intersect_p(scene, o, d, tmax, tmin=None, use_bvh=None):
     if use_bvh:
         from .bvh_traverse import bvh_intersect_p
         return bvh_intersect_p(scene, o, d, tmax, tmin)
+    if _pallas_ok():
+        return _brute_pallas(scene, o, d, tmax, tmin)["prim"] >= 0
     return intersect_p_brute(scene, o, d, tmax, tmin)

@@ -29,22 +29,30 @@ def gather_lobes(scene, sg, tex_values):
     sg: shading record with sg["mat"] (N,); tex_values: (NT, N, 3) from
     eval_textures. Returns the `lobes` dict consumed by shade/bsdf.py.
     """
+    import jax
+
     mats = scene["materials"]
     mid = jnp.maximum(sg["mat"], 0)
-    n = mid.shape[0]
     row = lambda key: mats[key][mid]                       # (N,K)
     lt = row("lobe_type")
-    k = lt.shape[1]
 
-    pts = jnp.arange(n)[:, None]                            # (N,1)
+    # Per-point texture pick as a one-hot contraction rather than a 2D
+    # advanced-index gather: the (N,K)x(N,1) gather form sends XLA:TPU's
+    # gather lowering down a pathologically slow compile path (minutes), while
+    # the one-hot einsum compiles in seconds and rides the MXU. NT (number of
+    # texture rows) is small, so the extra flops are negligible.
+    nt = tex_values.shape[0]
+    tvt = jnp.swapaxes(tex_values, 0, 1)                    # (N,NT,3)
 
     def spec_tex(key):
-        ids = row(key)                                      # (N,K)
-        return tex_values[jnp.maximum(ids, 0), pts]         # (N,K,3)
+        ids = jnp.maximum(row(key), 0)                      # (N,K)
+        oh = jax.nn.one_hot(ids, nt, dtype=jnp.float32)     # (N,K,NT)
+        return jnp.einsum("nkt,ntc->nkc", oh, tvt, precision="highest")          # (N,K,3)
 
     def float_tex(key):
-        ids = row(key)
-        return tex_values[jnp.maximum(ids, 0), pts, 0]      # (N,K)
+        ids = jnp.maximum(row(key), 0)
+        oh = jax.nn.one_hot(ids, nt, dtype=jnp.float32)
+        return jnp.einsum("nkt,nt->nk", oh, tvt[..., 0], precision="highest")    # (N,K)
 
     f0 = float_tex("f0")
     f1 = float_tex("f1")
