@@ -60,6 +60,37 @@ def main(argv=None):
             spp = max(1, spp // 4)
         cfg = api.integrator_config
 
+        if getattr(api, "probe_bake", None):
+            # createprobes.cpp: bake SH radiance probes, write the grid file
+            import numpy as np
+            from ..engine.prt import bake_probes, write_probes
+            pb = api.probe_bake
+            v = np.asarray(scene["verts"])
+            extent = np.maximum(v.max(0) - v.min(0), 1e-6)
+            res = tuple(int(np.clip(np.ceil(e / pb["spacing"]), 1, 16))
+                        for e in extent)
+            probes = bake_probes(scene, meta, cfg, *res,
+                                 n_samples=pb["nsamples"], lmax=pb["lmax"])
+            write_probes(pb["filename"], probes)
+            log.info("wrote %s (%dx%dx%d probes, lmax=%d)", pb["filename"],
+                     *res, pb["lmax"])
+            continue
+
+        if getattr(api, "surfacepoints_out", None):
+            # surfacepoints.cpp: dump the sampled point cloud as a float file
+            import numpy as np
+            from ..engine.subsurface import sample_surface_points
+            sp = api.surfacepoints_out
+            p, n, area = sample_surface_points(scene, sp["npoints"])
+            with open(sp["filename"], "w") as f:
+                f.write("# grail surface points: x y z nx ny nz area\n")
+                for row in np.concatenate(
+                        [np.asarray(p), np.asarray(n),
+                         np.asarray(area)[:, None]], axis=1):
+                    f.write(" ".join(f"{x:.9g}" for x in row) + "\n")
+            log.info("wrote %s (%d points)", sp["filename"], sp["npoints"])
+            continue
+
         if getattr(api, "mlt_config", None) is not None:
             from ..engine.metropolis import render_mlt
             t0 = time.time()

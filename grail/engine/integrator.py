@@ -70,6 +70,24 @@ class IntegratorConfig:
     photon_paths: int = 4096
     photon_radius: float = 0.15
     photon_final_gather: bool = True
+    # PRT (diffuseprt/glossyprt/useprobes + createprobes baking)
+    prt_lmax: int = 4
+    prt_nsamples: int = 64
+    prt_kd: tuple = (0.5, 0.5, 0.5)   # glossyprt.cpp "Kd"/"Ks"/"roughness"
+    prt_ks: tuple = (0.4, 0.4, 0.4)
+    prt_roughness: float = 0.1
+    probes_file: str = ""          # useprobes "filename" (empty = bake inline)
+    probes_res: tuple = (4, 4, 4)  # inline-bake grid resolution
+    # irradiance cache (irradiancecache.cpp)
+    ic_nsamples: int = 64          # hemisphere gather rays per cache point
+    ic_grid: tuple = (16, 16, 16)  # cache-point seed grid (octree analog)
+    ic_maxerror: float = 0.2       # Ward weight cutoff ("maxerror" param)
+    # dipole subsurface (dipolesubsurface.cpp)
+    sss_npoints: int = 1024        # surface sample points (surfacepoints.cpp)
+    sss_maxerror: float = 0.05
+    sss_sigma_a: tuple = (0.0011, 0.0024, 0.014)    # skin1 defaults (volume.cpp)
+    sss_sigma_s: tuple = (2.55, 3.21, 3.77)
+    sss_eta: float = 1.3
 
 
 def _bdim(bounce, off):

@@ -46,6 +46,21 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
         pcfg = PhotonConfig(n_paths=cfg.photon_paths, radius=cfg.photon_radius,
                             final_gather=cfg.photon_final_gather)
         L = photon_li(scene, meta, pcfg, cfg, rays, pix, samp, aux)
+    elif cfg.kind == "diffuseprt":
+        from .prt import diffuseprt_li
+        L = diffuseprt_li(scene, meta, cfg, rays, pix, samp, aux)
+    elif cfg.kind == "glossyprt":
+        from .prt import glossyprt_li
+        L = glossyprt_li(scene, meta, cfg, rays, pix, samp, aux)
+    elif cfg.kind == "useprobes":
+        from .prt import useprobes_li
+        L = useprobes_li(scene, meta, cfg, rays, pix, samp, aux)
+    elif cfg.kind == "irradiancecache":
+        from .irradiance import irradiancecache_li
+        L = irradiancecache_li(scene, meta, cfg, rays, pix, samp, aux)
+    elif cfg.kind == "dipole":
+        from .subsurface import dipole_li
+        L = dipole_li(scene, meta, cfg, rays, pix, samp, aux)
     else:
         L = li(scene, meta, cfg, rays, pix, samp)
     # NaN/Inf quarantine (samplerrenderer.cpp ::Run checks) — drop bad samples
@@ -78,6 +93,22 @@ def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0
         pcfg = PhotonConfig(n_paths=cfg.photon_paths, radius=cfg.photon_radius,
                             final_gather=cfg.photon_final_gather)
         aux = jax.jit(shoot_photons, static_argnums=(1, 2))(scene, meta, pcfg)
+    elif cfg.kind in ("diffuseprt", "glossyprt"):
+        from .prt import prt_preprocess
+        aux = jax.jit(prt_preprocess, static_argnums=(1, 2))(scene, meta, cfg)
+    elif cfg.kind == "useprobes":
+        from .prt import read_probes, bake_probes
+        if cfg.probes_file:
+            aux = {"probes": read_probes(cfg.probes_file)}
+        else:   # bake in-line when no file is given (createprobes fused)
+            aux = {"probes": bake_probes(scene, meta, cfg, *cfg.probes_res,
+                                         n_samples=cfg.prt_nsamples)}
+    elif cfg.kind == "dipole":
+        from .subsurface import dipole_preprocess
+        aux = dipole_preprocess(scene, meta, cfg)
+    elif cfg.kind == "irradiancecache":
+        from .irradiance import irradiance_preprocess
+        aux = irradiance_preprocess(scene, meta, cfg)
     for s in range(start_wave, spp):
         film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(s), aux)
         if progress is not None:

@@ -120,6 +120,11 @@ class PbrtAPI:
         self.current_object = None
         self.search_path = "."
         self.volume_regions = []
+        # BSSRDF medium for the dipole integrator (set by subsurface
+        # materials; skin1 defaults as in pbrt volume.cpp's measured table)
+        self.sss_sigma_a = (0.0011, 0.0024, 0.014)
+        self.sss_sigma_s = (2.55, 3.21, 3.77)
+        self.sss_eta = 1.3
 
     # --------------------------------------------------------------- CTM helpers
     def _for_active(self, fn):
@@ -501,9 +506,35 @@ class PbrtAPI:
                                                  inputs=(inv_amount, l["s0"])))
                 lobes.append(l2)
             return add_mat(lobes)
-        if mtype in ("measured", "subsurface", "kdsubsurface"):
-            log.warning("Material %r not yet implemented on device; "
-                        "substituting matte (SURVEY backlog)", mtype)
+        if mtype in ("subsurface", "kdsubsurface"):
+            # record the BSSRDF medium for the dipole integrator
+            # (subsurface.cpp: named media via GetVolumeScatteringProperties,
+            # or explicit sigma_a / sigma_prime_s; kdsubsurface.cpp converts
+            # Kd via SubsurfaceFromDiffuse — approximated here by treating Kd
+            # as the diffuse albedo alpha' with the default sigma scale)
+            from ..shade.media import MEASURED_MEDIA
+            name = tp.find_one_string("name", "")
+            if name and name in MEASURED_MEDIA:
+                sa, sps = MEASURED_MEDIA[name]
+                self.sss_sigma_a = tuple(sa)
+                self.sss_sigma_s = tuple(sps)
+            elif name:
+                log.warning('Unknown scattering medium "%s"; using skin1', name)
+            else:
+                scale = tp.find_one_float("scale", 1.0)
+                sa = tp.find_one_rgb("sigma_a", (0.0011, 0.0024, 0.014))
+                sps = tp.find_one_rgb("sigma_prime_s", (2.55, 3.21, 3.77))
+                self.sss_sigma_a = tuple(float(x) * scale for x in sa)
+                self.sss_sigma_s = tuple(float(x) * scale for x in sps)
+            self.sss_eta = tp.find_one_float("index", 1.3)
+            # surface shell: specular reflection over a diffuse base, as the
+            # dipole integrator shades direct light at the boundary
+            kr = tp.get_spectrum_texture(b, "Kr", (1.0, 1.0, 1.0))
+            kd = tp.get_spectrum_texture(b, "Kd", (0.5, 0.5, 0.5))
+            return add_mat([lobe(type=bx.LAMBERT, s0=kd)])
+        if mtype == "measured":
+            log.warning("Measured BRDF data files not loaded on device yet; "
+                        "substituting matte (SURVEY backlog)")
             kd = tp.get_spectrum_texture(b, "Kd", (0.5, 0.5, 0.5))
             return add_mat([lobe(type=bx.LAMBERT, s0=kd)])
         log.warning("Unknown material %r; using matte", mtype)
@@ -833,7 +864,10 @@ class PbrtAPI:
         # integrator
         imap = {"path": "path", "directlighting": "direct", "whitted": "whitted",
                 "ambientocclusion": "ao", "igi": "igi", "photonmap": "photon",
-                "exphotonmap": "photon"}
+                "exphotonmap": "photon", "diffuseprt": "diffuseprt",
+                "glossyprt": "glossyprt", "useprobes": "useprobes",
+                "irradiancecache": "irradiancecache",
+                "dipolesubsurface": "dipole"}
         ikind = imap.get(self.integrator_name)
         if ikind is None:
             log.warning("Surface integrator %r not yet implemented; using path",
@@ -859,7 +893,24 @@ class PbrtAPI:
                 "indirectphotons", 16384) // 4,
             photon_radius=self.integrator_params.find_one_float("maxdist", 0.1),
             photon_final_gather=self.integrator_params.find_one_bool(
-                "finalgather", True))
+                "finalgather", True),
+            # PRT family (diffuseprt.cpp "lmax"/"nsamples"; useprobes
+            # "filename"; createprobes bakes via probes_res)
+            prt_lmax=self.integrator_params.find_one_int("lmax", 4),
+            prt_nsamples=min(self.integrator_params.find_one_int(
+                "nsamples", 64), 256) if ikind in
+                ("diffuseprt", "glossyprt", "useprobes") else 64,
+            probes_file=self.integrator_params.find_one_string("filename", ""),
+            # irradiance cache (irradiancecache.cpp params)
+            ic_nsamples=min(self.integrator_params.find_one_int(
+                "nsamples", 64), 256) if ikind == "irradiancecache" else 64,
+            ic_maxerror=self.integrator_params.find_one_float("maxerror", 0.2),
+            # dipole subsurface (dipolesubsurface.cpp + named media)
+            sss_maxerror=self.integrator_params.find_one_float(
+                "maxerror", 0.05) if ikind == "dipole" else 0.05,
+            sss_sigma_a=tuple(self.sss_sigma_a),
+            sss_sigma_s=tuple(self.sss_sigma_s),
+            sss_eta=self.sss_eta)
 
         self.mlt_config = None
         if self.renderer_name == "metropolis":
@@ -874,6 +925,24 @@ class PbrtAPI:
             if rp.find_one_bool("bidirectional", True):
                 log.warning("MLT bidirectional paths pending; using "
                             "camera-path PSS-MLT")
+        self.probe_bake = None
+        self.surfacepoints_out = None
+        if self.renderer_name == "createprobes":
+            # createprobes.cpp: bake an SH radiance-probe grid to a file
+            rp = self.renderer_params
+            self.probe_bake = {
+                "lmax": rp.find_one_int("lmax", 4),
+                "nsamples": min(rp.find_one_int("directsamples", 64), 256),
+                "filename": rp.find_one_string("filename", "probes.out"),
+                "spacing": rp.find_one_float("samplespacing", 1.0),
+            }
+        elif self.renderer_name == "surfacepoints":
+            # surfacepoints.cpp: write the sampled surface point cloud
+            rp = self.renderer_params
+            self.surfacepoints_out = {
+                "filename": rp.find_one_string("filename", "surfacepoints.out"),
+                "npoints": 4096,
+            }
         elif self.renderer_name not in ("sampler", "aggregatetest", ""):
             log.warning("Renderer %r falls back to the sampler renderer",
                         self.renderer_name)

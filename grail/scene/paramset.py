@@ -202,5 +202,8 @@ class TextureParams:
     def find_one_bool(self, name, default):
         return self.geom.find_one_bool(name, self.mat.find_one_bool(name, default))
 
+    def find_one_rgb(self, name, default):
+        return self.geom.find_one_rgb(name, self.mat.find_one_rgb(name, default))
+
     def report_unused(self, context=""):
         self.geom.report_unused(context)

@@ -27,6 +27,24 @@ EXPONENTIAL = 2
 
 MAX_MARCH_STEPS = 32
 
+# GetVolumeScatteringProperties (pbrt src/core/volume.cpp measured-media
+# table, Jensen et al. 2001 "A Practical Model for Subsurface Light
+# Transport"): name -> (sigma_a, sigma_prime_s) in mm^-1.
+MEASURED_MEDIA = {
+    "Apple": ((0.0030, 0.0034, 0.046), (2.29, 2.39, 1.97)),
+    "Chicken1": ((0.015, 0.077, 0.19), (0.15, 0.21, 0.38)),
+    "Chicken2": ((0.018, 0.088, 0.20), (0.19, 0.25, 0.32)),
+    "Cream": ((0.0002, 0.0028, 0.0163), (7.38, 5.47, 3.15)),
+    "Ketchup": ((0.061, 0.97, 1.45), (0.18, 0.07, 0.03)),
+    "Marble": ((0.0021, 0.0041, 0.0071), (2.19, 2.62, 3.00)),
+    "Potato": ((0.0024, 0.0090, 0.12), (0.68, 0.70, 0.55)),
+    "Skimmilk": ((0.0014, 0.0025, 0.0142), (0.70, 1.22, 1.90)),
+    "Skin1": ((0.032, 0.17, 0.48), (0.74, 0.88, 1.01)),
+    "Skin2": ((0.013, 0.070, 0.145), (1.09, 1.59, 1.79)),
+    "Spectralon": ((0.00001, 0.00001, 0.00001), (11.6, 20.4, 14.9)),
+    "Wholemilk": ((0.0011, 0.0024, 0.014), (2.55, 3.21, 3.77)),
+}
+
 
 def region_segment(media, r, o, d, tmax):
     """Ray overlap [t0, t1] with static region r's bounds (volume-space box)."""

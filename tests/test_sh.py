@@ -1,0 +1,137 @@
+"""SH library + PRT/probe/subsurface integrator tests.
+
+Oracle strategy (SURVEY §4): analytic identities — SH orthonormality by MC
+integration, the cosine-convolution irradiance identity E = pi for a constant
+unit environment, and the single-scatter furnace identity Lo = rho * L for a
+convex Lambertian body under a constant environment (diffuseprt transfers
+direct light only, so there is no 1/(1-rho) multi-bounce term).
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grail.core import sh
+
+
+def test_sh_orthonormality():
+    rng = np.random.default_rng(7)
+    n = 200000
+    w = rng.normal(size=(n, 3)).astype(np.float32)
+    Y = np.asarray(sh.sh_evaluate(jnp.asarray(w), 4))
+    gram = (Y.T @ Y) * (4 * math.pi / n)
+    assert np.abs(gram - np.eye(sh.sh_terms(4))).max() < 0.05
+
+
+def test_sh_cos_convolution_constant_env():
+    # constant unit radiance: c0 = sqrt(4pi); E(n) must be pi for any n
+    c = np.zeros((sh.sh_terms(4), 1), np.float32)
+    c[0, 0] = math.sqrt(4 * math.pi)
+    ce = np.asarray(sh.sh_convolve_cos_theta(4, jnp.asarray(c)))
+    for nvec in ([0, 0, 1], [0.3, 0.4, np.sqrt(1 - 0.25)], [1, 0, 0]):
+        Y = np.asarray(sh.sh_evaluate(jnp.asarray([nvec], jnp.float32), 4))[0]
+        assert abs(float(Y @ ce[:, 0]) - math.pi) < 1e-3
+
+
+def test_sh_cos_convolution_directional():
+    # L(w) = max(0, w.z): E(z) = 2pi/3 analytically
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(200000, 3))
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    Y = np.asarray(sh.sh_evaluate(jnp.asarray(w, jnp.float32), 4))
+    c = (Y * np.maximum(w[:, 2:3], 0.0)).mean(0) * 4 * math.pi
+    ce = np.asarray(sh.sh_convolve_cos_theta(
+        4, jnp.asarray(c[:, None], jnp.float32)))
+    Ez = np.asarray(sh.sh_evaluate(jnp.asarray([[0., 0., 1.]]), 4))[0] @ ce[:, 0]
+    assert abs(float(Ez) - 2 * math.pi / 3) < 0.03
+
+
+def test_sh_rotate_z():
+    # rotating the expansion of f(w)=x by pi/2 about z gives f(w)=y
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(100000, 3))
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    Y = np.asarray(sh.sh_evaluate(jnp.asarray(w, jnp.float32), 3))
+    cx = (Y * w[:, 0:1]).mean(0) * 4 * math.pi
+    rot = np.asarray(sh.sh_rotate_z(
+        jnp.asarray(cx[:, None], jnp.float32), 3, math.pi / 2))
+    fy = np.asarray(sh.sh_evaluate(jnp.asarray([[0., 1., 0.]]), 3))[0] @ rot[:, 0]
+    assert abs(float(fy) - 1.0) < 0.02
+
+
+def test_diffuseprt_furnace_direct():
+    """Convex Lambertian sphere, constant env L=1: diffuseprt Lo = rho."""
+    from grail.scene.presets import furnace
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+    scene, meta, _ = furnace(xres=32, yres=32, spp=2, albedo=0.6)
+    cfg = IntegratorConfig(kind="diffuseprt", prt_lmax=4, prt_nsamples=64)
+    img, _ = render(scene, meta, cfg, spp=1)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # center pixels see the sphere head-on; lmax=4 truncation of the
+    # hemisphere-masked integrand rings by ~10%
+    c = img[12:20, 12:20].mean()
+    assert abs(c - 0.6) < 0.12, c
+
+
+def test_probes_roundtrip(tmp_path):
+    from grail.engine.prt import bake_probes, write_probes, read_probes
+    from grail.scene.presets import cornell_box
+    from grail.engine.integrator import IntegratorConfig
+    scene, meta, _ = cornell_box(xres=8, yres=8, spp=1)
+    cfg = IntegratorConfig(kind="useprobes", prt_lmax=2)
+    probes = bake_probes(scene, meta, cfg, 2, 2, 2, n_samples=4)
+    path = str(tmp_path / "probes.out")
+    write_probes(path, probes)
+    back = read_probes(path)
+    np.testing.assert_allclose(np.asarray(back["coeffs"]),
+                               np.asarray(probes["coeffs"]), rtol=1e-4)
+    assert back["lmax"] == 2
+
+
+def test_useprobes_renders(tmp_path):
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+    scene, meta, _ = cornell_box(xres=16, yres=16, spp=1)
+    cfg = IntegratorConfig(kind="useprobes", prt_lmax=2, prt_nsamples=8,
+                           probes_res=(3, 3, 3))
+    img, _ = render(scene, meta, cfg, spp=1)
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_dipole_rd_profile():
+    from grail.engine.subsurface import dipole_rd
+    sa = jnp.asarray([0.0021, 0.0041, 0.0071])
+    sps = jnp.asarray([2.19, 2.62, 3.00])
+    d2 = jnp.asarray([0.0, 0.01, 0.04, 0.25, 1.0])[:, None]
+    rd = np.asarray(dipole_rd(d2, sa, sps, 1.5))
+    assert (rd > 0).all()
+    assert (np.diff(rd[:, 0]) < 0).all()   # monotone decay with distance
+
+
+def test_dipole_renders():
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+    scene, meta, _ = cornell_box(xres=16, yres=16, spp=1)
+    cfg = IntegratorConfig(kind="dipole", sss_npoints=64)
+    img, _ = render(scene, meta, cfg, spp=1)
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_irradiancecache_renders():
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+    scene, meta, _ = cornell_box(xres=16, yres=16, spp=1)
+    cfg = IntegratorConfig(kind="irradiancecache", ic_nsamples=8,
+                           ic_grid=(6, 6, 1))
+    img, _ = render(scene, meta, cfg, spp=1)
+    img = np.asarray(img)
+    assert np.isfinite(img).all() and img.max() > 0
