@@ -365,7 +365,7 @@ class SceneBuilder:
 
         use_bvh = self.use_bvh if self.use_bvh is not None else n_tris > 64
         if use_bvh:
-            from .bvh import build_bvh, bvh_to_device
+            from .bvh import build_bvh_auto as build_bvh, bvh_to_device
             tri_all = np.concatenate(self.tri_idx)
             scene["bvh"] = bvh_to_device(build_bvh(verts, tri_all))
         else:

@@ -142,6 +142,26 @@ def build_bvh(verts, tris, max_prims=MAX_PRIMS_IN_NODE):
     }
 
 
+NATIVE_THRESHOLD = 2048     # tris above which the C++ builder is worth loading
+
+
+def build_bvh_auto(verts, tris, max_prims=MAX_PRIMS_IN_NODE):
+    """Builder dispatch: C++ (grail/native) for large meshes, NumPy otherwise.
+
+    GRAIL_NATIVE_BVH=1 forces native, =0 forces NumPy. Both emit the same
+    flattened layout; the fuzz suite checks hit-for-hit agreement."""
+    import os
+    pref = os.environ.get("GRAIL_NATIVE_BVH", "")
+    T = np.asarray(tris).shape[0]
+    want_native = pref == "1" or (pref != "0" and T >= NATIVE_THRESHOLD)
+    if want_native:
+        from ..native import build_bvh_native
+        b = build_bvh_native(verts, tris, max_prims)
+        if b is not None:
+            return b
+    return build_bvh(verts, tris, max_prims)
+
+
 def bvh_to_device(b):
     return {k: jnp.asarray(v) for k, v in b.items()}
 

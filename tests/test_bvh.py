@@ -94,3 +94,27 @@ def test_cornell_with_forced_bvh_matches_brute():
     img_bvh, _ = render(scene2, meta2, cfg, spp=2)
     np.testing.assert_allclose(np.asarray(img_brute), np.asarray(img_bvh),
                                atol=1e-4)
+
+
+def test_native_builder_matches_numpy():
+    """grail/native C++ builder: identical flattened topology to the NumPy
+    reference builder (same SAH decisions), and passes validate_bvh."""
+    import numpy as np
+    from grail.scene.bvh import build_bvh, validate_bvh
+    from grail.native import build_bvh_native, available
+    if not available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    T = 3000
+    verts = (rng.random((T * 3, 3)) * 8).astype(np.float32)
+    tris = np.arange(T * 3, dtype=np.int32).reshape(T, 3)
+    c = verts[tris].mean(1, keepdims=True)
+    verts[tris.reshape(-1)] = (c + (verts[tris] - c) * 0.1).reshape(-1, 3)
+    bn = build_bvh_native(verts, tris)
+    bp = build_bvh(verts, tris)
+    validate_bvh(bn, verts, tris)
+    for k in ("right", "prim_off", "nprims", "axis", "prim_ids"):
+        np.testing.assert_array_equal(bn[k], bp[k])
+    np.testing.assert_allclose(bn["bounds_min"], bp["bounds_min"], rtol=1e-6)
+    np.testing.assert_allclose(bn["bounds_max"], bp["bounds_max"], rtol=1e-6)
