@@ -94,13 +94,24 @@ def _bdim(bounce, off):
     return _BOUNCE_BASE + bounce * _BOUNCE_STRIDE + off
 
 
-def _shade_context(scene, meta, hit, o, d):
-    """Common post-hit work: shading geometry, bump, textures, lobes, local wo."""
+def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None):
+    """Common post-hit work: shading geometry, bump, textures, lobes, local wo.
+
+    camdiff: optional (rx_o, rx_d, ry_o, ry_d) camera differential rays;
+    is_primary: traced bool scalar — uv screen derivatives are computed only
+    on the primary (bounce-0) wave, as pbrt only carries RayDifferentials on
+    camera/specular rays."""
     sg = geom.shading_geometry(scene, hit, o, d)
+    if camdiff is not None:
+        duvdx, duvdy = geom.uv_differentials(sg, *camdiff)
+        keep = is_primary if is_primary is not None else True
+        sg["duvdx"] = jnp.where(keep, duvdx, jnp.zeros_like(duvdx))
+        sg["duvdy"] = jnp.where(keep, duvdy, jnp.zeros_like(duvdy))
     if getattr(meta, "has_bump", False):
         sg = _apply_bump(scene, meta, sg)
     tex_values = eval_textures(meta.tex_specs, scene["tex_data"], sg,
-                               scene.get("images", ()))
+                               scene.get("images", ()),
+                               scene.get("mipmaps", ()))
     lobes = mtl.gather_lobes(scene, sg, tex_values)
     wo_local = geom.world_to_local(sg, -d)
     return sg, lobes, wo_local
@@ -322,7 +333,10 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
                        0.0)
         active = active & ~miss
 
-        sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d)
+        camdiff = rays.get("camdiff")
+        sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d,
+                                             camdiff=camdiff,
+                                             is_primary=(bounce == 0))
 
         # emitted at hit (area lights), only for camera/specular vertices
         if lt.AREA in meta.light_types:

@@ -41,6 +41,14 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
 
     rays = cam.generate_rays(scene["camera"], px, py, ufx, ufy, ul1, ul2, ut,
                              meta.cam_kind)
+    if getattr(meta, "n_images", 0) > 0:
+        # camera differential rays (Camera::GenerateRayDifferential: the same
+        # sample shifted one pixel in x and in y) for texture filtering
+        rx = cam.generate_rays(scene["camera"], px + 1, py, ufx, ufy,
+                               ul1, ul2, ut, meta.cam_kind)
+        ry = cam.generate_rays(scene["camera"], px, py + 1, ufx, ufy,
+                               ul1, ul2, ut, meta.cam_kind)
+        rays["camdiff"] = (rx["o"], rx["d"], ry["o"], ry["d"])
     if cfg.kind == "photon":
         from .photonmap import photon_li, PhotonConfig
         pcfg = PhotonConfig(n_paths=cfg.photon_paths, radius=cfg.photon_radius,

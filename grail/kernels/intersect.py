@@ -106,11 +106,65 @@ def _brute_pallas(scene, o, d, tmax, tmin):
     return {"t": jnp.where(hit, t, BIG_T), "prim": prim, "b1": b1, "b2": b2}
 
 
+def _morton3(x):
+    """30-bit Morton code of points in [0,1)^3 (ray-sorting key)."""
+    def expand(v):
+        v = v.astype(jnp.uint32)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+    q = jnp.clip(x * 1024.0, 0.0, 1023.0)
+    return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+
+
+def _packet_bvh(scene, o, d, tmax, tmin, sort=True):
+    """Pallas packet traversal with direction-octant + origin-Morton ray
+    sorting (restores block coherence for bounce/shadow waves; the wavefront
+    re-packing from SURVEY §2.10 P1)."""
+    from .bvh_pallas import pack_bvh_tables, bvh_intersect_packet
+    from .pallas_intersect import pack_tris
+    n = o.shape[0]
+    if tmin is None:
+        tmin = jnp.zeros((n,), jnp.float32)
+    nodes_tab, tris_tab = pack_bvh_tables(scene)
+    tris9 = pack_tris(scene)
+    if sort and n >= 2048:
+        bmin = jnp.min(scene["verts"], axis=0)
+        bmax = jnp.max(scene["verts"], axis=0)
+        tn = (o - bmin) / jnp.maximum(bmax - bmin, 1e-9)
+        octant = (((d[:, 0] >= 0).astype(jnp.uint32) << 2)
+                  | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+                  | (d[:, 2] >= 0).astype(jnp.uint32))
+        key = (octant << 29) | (_morton3(tn) >> 1)
+        order = jnp.argsort(key)
+        inv = jnp.argsort(order)
+        t, prim, b1, b2 = bvh_intersect_packet(
+            nodes_tab, tris_tab, tris9, o[order], d[order],
+            tmin[order], tmax[order])
+        t, prim, b1, b2 = t[inv], prim[inv], b1[inv], b2[inv]
+    else:
+        t, prim, b1, b2 = bvh_intersect_packet(
+            nodes_tab, tris_tab, tris9, o, d, tmin, tmax)
+    hit = prim >= 0
+    return {"t": jnp.where(hit, t, BIG_T), "prim": prim, "b1": b1, "b2": b2}
+
+
+def _use_packet(scene):
+    if not _pallas_ok():
+        return False
+    from .bvh_pallas import tables_fit_vmem
+    return tables_fit_vmem(scene)
+
+
 def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
     """Scene intersection dispatch (Scene::Intersect analog)."""
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:
+        if _use_packet(scene):
+            return _packet_bvh(scene, o, d, tmax, tmin)
         from .bvh_traverse import bvh_intersect
         return bvh_intersect(scene, o, d, tmax, tmin)
     if _pallas_ok():
@@ -123,6 +177,8 @@ def intersect_p(scene, o, d, tmax, tmin=None, use_bvh=None):
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:
+        if _use_packet(scene):
+            return _packet_bvh(scene, o, d, tmax, tmin)["prim"] >= 0
         from .bvh_traverse import bvh_intersect_p
         return bvh_intersect_p(scene, o, d, tmax, tmin)
     if _pallas_ok():

@@ -335,8 +335,13 @@ class PbrtAPI:
                 log.warning("imagemap %r: %s — using 0.5 constant", fname, e)
                 return b.const_tex((0.5, 0.5, 0.5))
             img_id = b.add_image(img)
+            # imagemap.cpp: "trilinear" bool (false => EWA), "maxanisotropy"
+            filt = ("trilinear" if tp.find_one_bool("trilinear", False)
+                    else "ewa")
             return b.add_texture(
-                TexSpec(kind="image", image_id=img_id, **self._mapping_kwargs(tp)),
+                TexSpec(kind="image", image_id=img_id, filt=filt,
+                        maxaniso=tp.find_one_float("maxanisotropy", 8.0),
+                        **self._mapping_kwargs(tp)),
                 w2t=w2t)
         log.warning("Unknown texture class %r; using constant 0.5", texclass)
         return b.const_tex((0.5, 0.5, 0.5))
@@ -655,7 +660,9 @@ class PbrtAPI:
                 log.warning("trianglemesh missing indices/P; ignored")
                 return None
             N = params.find_normals("N")
-            uv = params.find_floats("uv") or params.find_floats("st")
+            uv = params.find_floats("uv")
+            if uv is None:
+                uv = params.find_floats("st")
             uvs = (np.asarray(uv, np.float32).reshape(-1, 2)
                    if uv is not None else None)
             alpha = params.find_one_float("alpha", 1.0)

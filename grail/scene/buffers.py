@@ -268,6 +268,11 @@ class SceneBuilder:
                    else jnp.zeros((1, 4, 4), jnp.float32),
         }
         scene["images"] = tuple(jnp.asarray(im) for im in self.images)
+        # mip pyramids (MIPMap, mipmap.h): host-side pow2 resample + levels
+        from ..shade.mipmap import build_pyramid
+        scene["mipmaps"] = tuple(
+            tuple(jnp.asarray(l) for l in build_pyramid(im))
+            for im in self.images)
 
         # ---- light table
         L = max(len(self.lights), 1)

@@ -107,3 +107,59 @@ def world_to_local(sg, w):
 
 def local_to_world(sg, w):
     return (w[..., 0:1] * sg["ss"] + w[..., 1:2] * sg["ts"] + w[..., 2:3] * sg["ns"])
+
+
+def uv_differentials(sg, rx_o, rx_d, ry_o, ry_d):
+    """DifferentialGeometry::ComputeDifferentials (pbrt diffgeom.cpp ~L30):
+    intersect the x/y offset rays with the tangent plane at p, then solve the
+    2x2 system dpdx = dudx*dpdu + dvdx*dpdv for the uv screen derivatives.
+
+    Returns (duvdx, duvdy), each (N,2). Degenerate configurations (offset ray
+    parallel to the plane) produce zeros, matching pbrt's hasDifferentials
+    fallback."""
+    p, ng = sg["p"], sg["ng"]
+    dist = dot(ng, p)
+
+    def plane_hit(o, d):
+        denom = dot(ng, d)
+        tt = (dist - dot(ng, o)) / jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+        ok = jnp.abs(denom) >= 1e-9
+        return o + tt[..., None] * d, ok
+
+    px, okx = plane_hit(rx_o, rx_d)
+    py, oky = plane_hit(ry_o, ry_d)
+    dpdx = px - p
+    dpdy = py - p
+
+    # pick the two dimensions where the normal is smallest (diffgeom.cpp)
+    an = jnp.abs(ng)
+    # axes as one-hot selections: drop the largest-|n| axis
+    drop = jnp.argmax(an, axis=-1)                       # (N,)
+    ax0 = jnp.where(drop == 0, 1, 0)
+    ax1 = jnp.where(drop == 2, 1, 2)
+
+    def pick(v, a):
+        return jnp.take_along_axis(v, a[..., None], axis=-1)[..., 0]
+
+    A00 = pick(sg["dpdu"], ax0)
+    A01 = pick(sg["dpdv"], ax0)
+    A10 = pick(sg["dpdu"], ax1)
+    A11 = pick(sg["dpdv"], ax1)
+    det = A00 * A11 - A01 * A10
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    solvable = jnp.abs(det) >= 1e-12
+
+    def solve(b):
+        b0 = pick(b, ax0)
+        b1 = pick(b, ax1)
+        return ((A11 * b0 - A01 * b1) * inv, (A00 * b1 - A10 * b0) * inv)
+
+    dudx, dvdx = solve(dpdx)
+    dudy, dvdy = solve(dpdy)
+    okx = okx & solvable
+    oky = oky & solvable
+    duvdx = jnp.stack([jnp.where(okx, dudx, 0.0),
+                       jnp.where(okx, dvdx, 0.0)], axis=-1)
+    duvdy = jnp.stack([jnp.where(oky, dudy, 0.0),
+                       jnp.where(oky, dvdy, 0.0)], axis=-1)
+    return duvdx, duvdy

@@ -45,6 +45,8 @@ class TexSpec:
     scale: float = 1.0
     variation: float = 0.2
     gamma: bool = False
+    filt: str = "ewa"                 # imagemap filtering: bilinear|trilinear|ewa
+    maxaniso: float = 8.0             # EWA eccentricity clamp ("maxanisotropy")
 
 
 # ------------------------------------------------------------------------ Perlin noise
@@ -179,7 +181,7 @@ def mapped_p3(w2t, sg):
 
 
 # ------------------------------------------------------------------------ eval engine
-def eval_textures(tex_specs, tex_data, sg, images=()):
+def eval_textures(tex_specs, tex_data, sg, images=(), mipmaps=()):
     """Evaluate the whole (topologically ordered) texture table at shade points.
 
     tex_specs: tuple[TexSpec] (static); tex_data: dict with
@@ -252,7 +254,7 @@ def eval_textures(tex_specs, tex_data, sg, images=()):
             v = _marble_spline(tt)
         elif spec.kind == "image":
             s, t = apply_mapping(spec, w2t, sg)
-            v = image_bilinear(images[spec.image_id], s, t)
+            v = image_lookup(spec, images, mipmaps, sg, s, t)
         else:
             raise ValueError(f"unknown texture kind {spec.kind}")
         vals.append(v)
@@ -288,6 +290,33 @@ def _marble_spline(t):
     b0 = s0 * a0 + s1 * a1
     b1 = s0 * a1 + s1 * a2
     return 1.5 * (s0 * b0 + s1 * b1)
+
+
+def image_lookup(spec, images, mipmaps, sg, s, t):
+    """ImageTexture::Evaluate (imagemap.cpp): mapping -> (s,t,derivs) ->
+    MIPMap::Lookup. Uses the mip pyramid + screen-space uv differentials when
+    both are available (primary hits); falls back to finest-level bilinear
+    (the width=0 path) otherwise."""
+    from .mipmap import lookup_trilinear, lookup_ewa
+    have_mips = mipmaps and 0 <= spec.image_id < len(mipmaps)
+    duvdx = sg.get("duvdx")
+    if (not have_mips) or duvdx is None or spec.filt == "bilinear":
+        return image_bilinear(images[spec.image_id], s, t)
+    levels = mipmaps[spec.image_id]
+    # derivatives of (s,t) through the uv mapping (UVMapping2D::Map computes
+    # dstdx = (su*dudx, sv*dvdx); non-uv mappings fall back to width 0)
+    if spec.mapping == "uv":
+        ds0 = spec.su * duvdx[:, 0]
+        dt0 = spec.sv * duvdx[:, 1]
+        ds1 = spec.su * sg["duvdy"][:, 0]
+        dt1 = spec.sv * sg["duvdy"][:, 1]
+    else:
+        ds0 = dt0 = ds1 = dt1 = jnp.zeros_like(s)
+    if spec.filt == "trilinear":
+        width = jnp.maximum(jnp.maximum(jnp.abs(ds0), jnp.abs(dt0)),
+                            jnp.maximum(jnp.abs(ds1), jnp.abs(dt1)))
+        return lookup_trilinear(levels, s, t, 2.0 * width)
+    return lookup_ewa(levels, s, t, ds0, dt0, ds1, dt1, spec.maxaniso)
 
 
 def image_bilinear(img, s, t):

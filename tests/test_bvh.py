@@ -118,3 +118,40 @@ def test_native_builder_matches_numpy():
         np.testing.assert_array_equal(bn[k], bp[k])
     np.testing.assert_allclose(bn["bounds_min"], bp["bounds_min"], rtol=1e-6)
     np.testing.assert_allclose(bn["bounds_max"], bp["bounds_max"], rtol=1e-6)
+
+
+def test_packet_traversal_matches_brute():
+    """Pallas packet traversal (interpret mode on CPU) vs exhaustive oracle —
+    the aggregatetest criterion applied to the TPU kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from grail.scene.bvh import build_bvh, bvh_to_device
+    from grail.kernels.bvh_pallas import pack_bvh_tables, _run
+    from grail.kernels.intersect import intersect_brute
+
+    rng = np.random.default_rng(3)
+    T = 300
+    verts = (rng.random((T * 3, 3)) * 6).astype(np.float32)
+    tris = np.arange(T * 3, dtype=np.int32).reshape(T, 3)
+    c = verts[tris].mean(1, keepdims=True)
+    verts[tris.reshape(-1)] = (c + (verts[tris] - c) * 0.3).reshape(-1, 3)
+    scene = {"verts": jnp.asarray(verts), "tri_idx": jnp.asarray(tris),
+             "bvh": bvh_to_device(build_bvh(verts, tris))}
+    n = 1024
+    o = jnp.asarray(rng.random((n, 3)).astype(np.float32) * 6)
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tmin = jnp.zeros((n,), jnp.float32)
+    tmax = jnp.full((n,), 1e7, jnp.float32)
+
+    nodes_tab, tris_tab = pack_bvh_tables(scene)
+    t, prim, b1, b2 = _run(nodes_tab, tris_tab, o, d, tmin, tmax,
+                           interpret=True)
+    ref = intersect_brute(scene, o, d, tmax)
+    hit = np.asarray(prim) >= 0
+    hit_ref = np.asarray(ref["prim"]) >= 0
+    assert (hit == hit_ref).all()
+    ok = hit & hit_ref
+    np.testing.assert_allclose(np.asarray(t)[ok], np.asarray(ref["t"])[ok],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(prim)[ok] == np.asarray(ref["prim"])[ok]).all()
