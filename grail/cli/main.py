@@ -25,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--ncores", type=int, default=0, help="accepted for pbrt "
                     "compatibility (parallelism is device-mesh based)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="checkpoint file: resumed if present, written every "
+                         "--checkpoint-every waves (SURVEY §5.4)")
+    ap.add_argument("--checkpoint-every", type=int, default=8, metavar="N")
+    ap.add_argument("--metrics", default=None, metavar="PATH",
+                    help="append per-wave JSONL metrics (rays/s, wall time)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -114,7 +120,17 @@ def main(argv=None):
             if not args.quiet and (s % max(1, total // 20) == 0 or s == total):
                 log.info("  wave %d/%d (%.1fs)", s, total, time.time() - t0)
 
-        img, film = render(scene, meta, cfg, spp=spp, progress=progress)
+        adaptive = getattr(api, "adaptive", None)
+        if adaptive:
+            from ..engine.render import render_adaptive
+            img, _ = render_adaptive(scene, meta, cfg,
+                                     min_spp=min(adaptive["min"], spp),
+                                     max_spp=spp, progress=progress)
+        else:
+            img, film = render(scene, meta, cfg, spp=spp, progress=progress,
+                               checkpoint_path=args.checkpoint,
+                               checkpoint_every=args.checkpoint_every,
+                               metrics_path=args.metrics)
         log.info("rendered %dx%d @ %dspp in %.1fs", meta.xres, meta.yres, spp,
                  time.time() - t0)
 

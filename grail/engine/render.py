@@ -87,12 +87,23 @@ def _render_wave_jit(scene, meta, cfg, film, samp_idx, aux=None):
 
 
 def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0,
-           progress=None):
+           progress=None, checkpoint_path=None, checkpoint_every=0,
+           metrics_path=None):
     """Full render: spp waves accumulated into the film; returns (image, film).
 
     Checkpoint/resume: pass the previous film and start_wave (bitwise identical to
-    an uninterrupted run thanks to counter-based sampling; SURVEY §5.4)."""
+    an uninterrupted run thanks to counter-based sampling; SURVEY §5.4), or pass
+    checkpoint_path — an existing file there is loaded and the render continues;
+    every checkpoint_every waves the state is re-dumped atomically.
+    metrics_path: optional JSONL observability sink (SURVEY §5.5): one record per
+    wave with wall time and cumulative camera-rays/s.
+    """
     spp = spp if spp is not None else meta.sampler.spp
+    if checkpoint_path:
+        import os
+        from . import checkpoint as ckpt
+        if os.path.exists(checkpoint_path):
+            film, start_wave, _ = ckpt.load(checkpoint_path, meta, cfg)
     if film is None:
         film = flm.new_film(meta.xres, meta.yres)
     aux = None
@@ -117,9 +128,101 @@ def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0
     elif cfg.kind == "irradiancecache":
         from .irradiance import irradiance_preprocess
         aux = irradiance_preprocess(scene, meta, cfg)
+    import time as _time
+    t0 = _time.perf_counter()
+    rays_done = 0
     for s in range(start_wave, spp):
         film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(s), aux)
         if progress is not None:
             progress(s + 1, spp)
+        if checkpoint_path and checkpoint_every and \
+                (s + 1) % checkpoint_every == 0 and s + 1 < spp:
+            from . import checkpoint as ckpt
+            jax.block_until_ready(film)
+            ckpt.save(checkpoint_path, film, s + 1, meta, cfg)
+        if metrics_path:
+            jax.block_until_ready(film)
+            rays_done += meta.xres * meta.yres
+            dt = _time.perf_counter() - t0
+            import json
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({
+                    "wave": s + 1, "spp": spp, "wall_s": round(dt, 3),
+                    "camera_rays": rays_done,
+                    "camera_rays_per_sec": round(rays_done / max(dt, 1e-9), 1),
+                }) + "\n")
+    if checkpoint_path:
+        import os
+        if os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)   # completed: a stale file would make a
+            # re-run resume mid-way instead of rendering fresh
     img = flm.develop(film)
     return img, film
+
+
+def render_adaptive(scene, meta, cfg: IntegratorConfig, min_spp=4, max_spp=32,
+                    threshold=0.02, progress=None):
+    """Adaptive sampling — pbrt src/samplers/adaptive.{h,cpp} re-shaped for SPMD.
+
+    The reference's AdaptiveSampler re-issues a pixel's samples at maxsamples
+    when a contrast criterion fires (ReportResults). A per-pixel immediate
+    retry is hostile to SPMD, so the wavefront version is a *between-wave
+    re-queue* (SURVEY §2.8 TPU equiv): render min_spp full waves split across
+    two half-buffers, then repeatedly flag pixels whose A/B relative contrast
+    exceeds `threshold` and render further waves for only the flagged pixel
+    subset (compacted + padded to a pow2 capacity so jit shapes stay static).
+    Sample positions remain the counter-based sequence, so the result equals a
+    plain render at the per-pixel achieved spp.
+
+    Returns (image, (film_a, film_b, spp_map)).
+    """
+    import numpy as np
+    film_a = flm.new_film(meta.xres, meta.yres)
+    film_b = flm.new_film(meta.xres, meta.yres)
+    for s in range(min_spp):
+        if s % 2 == 0:
+            film_a = _render_wave_jit(scene, meta, cfg, film_a, jnp.uint32(s))
+        else:
+            film_b = _render_wave_jit(scene, meta, cfg, film_b, jnp.uint32(s))
+        if progress is not None:
+            progress(s + 1, max_spp)
+
+    n_pix = meta.xres * meta.yres
+    spp_map = np.full((n_pix,), min_spp, np.int32)
+
+    @jax.jit
+    def _subset_wave(scene, film, pix, mask, samp_idx):
+        return render_wave(scene, meta, cfg, film, samp_idx, pix=pix, mask=mask)
+
+    s = min_spp
+    while s < max_spp:
+        # contrast criterion between the two half-buffer estimates
+        # (adaptive.cpp needsSupersampling: contrast of samples vs mean)
+        a = np.asarray(flm.develop(film_a))
+        b = np.asarray(flm.develop(film_b))
+        lum_a = a @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+        lum_b = b @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+        err = np.abs(lum_a - lum_b) / np.maximum(0.5 * (lum_a + lum_b), 1e-3)
+        flagged = np.nonzero((err.reshape(-1) > threshold)
+                             & (spp_map < max_spp))[0]
+        if flagged.size == 0:
+            break
+        cap = max(256, 1 << int(np.ceil(np.log2(flagged.size))))
+        pix = np.zeros((cap,), np.uint32)
+        pix[:flagged.size] = flagged
+        mask = np.zeros((cap,), bool)
+        mask[:flagged.size] = True
+        pix_j = jnp.asarray(pix)
+        mask_j = jnp.asarray(mask)
+        if s % 2 == 0:
+            film_a = _subset_wave(scene, film_a, pix_j, mask_j, jnp.uint32(s))
+        else:
+            film_b = _subset_wave(scene, film_b, pix_j, mask_j, jnp.uint32(s))
+        spp_map[flagged] += 1
+        s += 1
+        if progress is not None:
+            progress(s, max_spp)
+
+    film = flm.merge([film_a, film_b])
+    img = flm.develop(film)
+    return img, (film_a, film_b, spp_map.reshape(meta.yres, meta.xres))

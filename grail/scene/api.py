@@ -838,7 +838,7 @@ class PbrtAPI:
         spp = self.sampler_params.find_one_int(
             "pixelsamples", self.sampler_params.find_one_int("nsamples", 4))
         kind_map = {"lowdiscrepancy": ZERO_TWO, "02sequence": ZERO_TWO,
-                    "stratified": STRATIFIED, "halton": ZERO_TWO,
+                    "stratified": STRATIFIED, "halton": HALTON,
                     "random": RANDOM, "bestcandidate": ZERO_TWO,
                     "adaptive": ZERO_TWO}
         skind = kind_map.get(self.sampler_name, ZERO_TWO)
@@ -846,9 +846,16 @@ class PbrtAPI:
             xs = self.sampler_params.find_one_int("xsamples", 2)
             ys = self.sampler_params.find_one_int("ysamples", 2)
             spp = xs * ys
-        if self.sampler_name in ("bestcandidate", "adaptive", "halton"):
+        if self.sampler_name == "bestcandidate":
             log.warning("Sampler %r mapped to scrambled (0,2)-sequence",
                         self.sampler_name)
+        if self.sampler_name == "adaptive":
+            # adaptive.cpp "minsamples"/"maxsamples" → between-wave re-queue
+            # (engine.render.render_adaptive); base sequence is (0,2)
+            self.adaptive = {
+                "min": self.sampler_params.find_one_int("minsamples", 4),
+                "max": self.sampler_params.find_one_int("maxsamples", 32)}
+            spp = self.adaptive["max"]
         b.sampler = SamplerConfig(kind=skind, spp=spp)
 
         # camera
