@@ -18,11 +18,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 def main():
     import jax
-    import jax.numpy as jnp
     from grail.scene.presets import cornell_box
-    from grail.engine.render import _render_wave_jit
+    from grail.engine.render import render, auto_spp_chunk
     from grail.engine.integrator import IntegratorConfig
-    from grail.engine import film as flm
 
     xres = yres = int(os.environ.get("BENCH_RES", "256"))
     spp = int(os.environ.get("BENCH_SPP", "16"))
@@ -30,19 +28,18 @@ def main():
 
     scene, meta, _ = cornell_box(xres=xres, yres=yres, spp=spp)
     cfg = IntegratorConfig(kind="path", max_depth=max_depth)
-    film = flm.new_film(meta.xres, meta.yres)
 
-    # compile + warmup wave
-    film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(0))
+    # compile + warmup: one chunk's worth of spp (same shapes as the timed run)
+    chunk = auto_spp_chunk(meta, spp)
+    _, film = render(scene, meta, cfg, spp=min(chunk, spp))
     jax.block_until_ready(film)
 
     t0 = time.perf_counter()
-    for s in range(1, spp):
-        film = _render_wave_jit(scene, meta, cfg, film, jnp.uint32(s))
+    _, film = render(scene, meta, cfg, spp=spp)
     jax.block_until_ready(film)
     dt = time.perf_counter() - t0
 
-    camera_rays = xres * yres * (spp - 1)
+    camera_rays = xres * yres * spp
     # traced rays per camera ray: per bounce → 1 extend + 1 shadow + 1 MIS ray
     rays_per_sec = camera_rays / dt
 
