@@ -1,11 +1,16 @@
 """Micro-benchmarks of the wavefront stages on the current backend.
 
 Times each stage separately so optimization effort goes where the time is:
-raygen, brute-force intersect, BVH intersect, texture+lobe gather, bsdf eval,
-estimate_direct, full direct/path waves.
+raygen, intersect (brute + BVH packet), shade context, BSDF sample/eval,
+estimate_direct, film scatter, full direct/path waves.
 
-Usage: python benchmarks/micro.py [n_rays_log2]
+Every jitted stage takes its arrays as *traced arguments* (closing over a
+device array bakes it into the HLO as a constant and XLA constant-folds
+megabyte tensors at compile time — measured 130s compile for raygen alone).
+
+Usage: python benchmarks/micro.py [n_rays_log2] [--json out.json]
 """
+import json
 import os
 import sys
 import time
@@ -20,78 +25,155 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+RESULTS = {}
 
-def timeit(name, fn, *args, iters=20):
+
+def timeit(name, fn, *args, iters=20, n_rays=None):
+    t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:34s} {dt * 1e3:8.2f} ms")
+    rate = f"  {n_rays / dt / 1e6:9.1f} Mrays/s" if n_rays else ""
+    print(f"{name:36s} {dt * 1e3:9.3f} ms{rate}   (compile {compile_s:.1f}s)")
+    RESULTS[name] = {"ms": dt * 1e3,
+                     "mrays_per_s": (n_rays / dt / 1e6) if n_rays else None}
     return dt
 
 
 def main():
-    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    skip_bvh = os.environ.get("MICRO_SKIP_BVH", "0") == "1"
+    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     n = 1 << n_log2
     print(f"backend={jax.default_backend()} n_rays={n}")
 
     from grail.scene.presets import cornell_box, tessellate_sphere
-    from grail.engine.render import render_wave, _render_wave_jit
-    from grail.engine.integrator import IntegratorConfig, li, estimate_direct, _shade_context
+    from grail.engine.render import render_wave
+    from grail.engine.integrator import (IntegratorConfig, estimate_direct,
+                                         _shade_context, _pick_light)
     from grail.engine import film as flm, camera as cam
     from grail.kernels import intersect as isect
     from grail.core import rng as rngmod
+    from grail.shade import bsdf as bx
 
     res = int(np.sqrt(n))
-    scene, meta, b = cornell_box(xres=res, yres=res, spp=4)
+    scene, meta, _ = cornell_box(xres=res, yres=res, spp=4)
 
     pix = jnp.arange(n, dtype=jnp.uint32)
     samp = jnp.zeros(n, jnp.uint32)
-    px = (pix % meta.xres).astype(jnp.int32)
-    py = (pix // meta.xres).astype(jnp.int32)
-    u = [rngmod.sample_1d(meta.sampler, pix, samp, d) for d in range(8)]
 
-    raygen = jax.jit(lambda: cam.generate_rays(
-        scene["camera"], px, py, u[0], u[1], u[2], u[3], u[4], meta.cam_kind))
-    timeit("raygen", raygen)
-
-    rays = raygen()
+    # ---- raygen
+    @jax.jit
+    def raygen(pix, samp):
+        px = (pix % meta.xres).astype(jnp.int32)
+        py = (pix // meta.xres).astype(jnp.int32)
+        ufx, ufy = rngmod.sample_2d(meta.sampler, pix, samp, 0)
+        ul1, ul2 = rngmod.sample_2d(meta.sampler, pix, samp, 1)
+        ut = rngmod.sample_1d(meta.sampler, pix, samp, 2)
+        return cam.generate_rays(scene["camera"], px, py, ufx, ufy, ul1, ul2,
+                                 ut, meta.cam_kind)
+    timeit("raygen", raygen, pix, samp, n_rays=n)
+    rays = jax.block_until_ready(raygen(pix, samp))
+    o, d = rays["o"], rays["d"]
     tmax = jnp.full((n,), 1e7, jnp.float32)
-    brute = jax.jit(lambda o, d: isect.intersect_brute(scene, o, d, tmax))
-    timeit("intersect brute 36 tris", brute, rays["o"], rays["d"])
 
-    # BVH on a 35k-tri sphere mesh
-    if skip_bvh:
-        print("  (BVH stage skipped)")
-    from grail.scene.bvh import build_bvh, bvh_to_device
-    verts, idx = tessellate_sphere(radius=1.0, nu=240, nv=74)
-    bscene = {"verts": jnp.asarray(verts),
-              "tri_idx": jnp.asarray(idx.astype(np.int32))}
-    bscene["bvh"] = bvh_to_device(build_bvh(verts, idx))
-    print(f"  (sphere mesh: {len(idx)} tris, {len(bscene['bvh']['right'])} nodes)")
-    if not skip_bvh:
-        from grail.kernels.bvh_traverse import bvh_intersect
-        bvhfn = jax.jit(lambda o, d: bvh_intersect(bscene, o, d, tmax))
-        o_far = rays["o"] * 0 + jnp.asarray([0.0, 0.0, 4.0])
-        timeit("intersect BVH 35k tris", bvhfn, o_far, rays["d"])
+    # ---- intersections on the cornell scene (36 tris, brute/pallas path)
+    close = jax.jit(lambda o, d, tmax: isect.intersect(scene, o, d, tmax))
+    timeit("intersect closest (36 tris)", close, o, d, tmax, n_rays=n)
+    anyh = jax.jit(lambda o, d, tmax: isect.intersect_p(scene, o, d, tmax))
+    timeit("intersect_p (36 tris)", anyh, o, d, tmax, n_rays=n)
 
-    hit = brute(rays["o"], rays["d"])
-    shade = jax.jit(lambda: _shade_context(scene, meta, hit, rays["o"], rays["d"]))
-    timeit("shade context (tex+lobes)", shade)
+    hit = jax.block_until_ready(close(o, d, tmax))
 
-    cfg_d = IntegratorConfig(kind="direct", max_depth=1)
+    # ---- shading context (geometry + textures + lobes)
+    shade = jax.jit(lambda hit, o, d: _shade_context(scene, meta, hit, o, d))
+    timeit("shade context (tex+lobes)", shade, hit, o, d, n_rays=n)
+    sg, lobes, wo_local = jax.block_until_ready(shade(hit, o, d))
+
+    # ---- BSDF sample + eval
+    @jax.jit
+    def bsdf_stage(lobes, wo_local, pix, samp):
+        u = rngmod.sample_2d(meta.sampler, pix, samp, 8)
+        uc = rngmod.sample_1d(meta.sampler, pix, samp, 9)
+        bs = bx.bsdf_sample(lobes, wo_local, u[0], u[1], uc, meta.lobe_types,
+                            include_specular=True)
+        f = bx.bsdf_f(lobes, wo_local, bs["wi"], meta.lobe_types, False)
+        pdf = bx.bsdf_pdf(lobes, wo_local, bs["wi"], meta.lobe_types, False)
+        return bs["f"], f, pdf
+    timeit("bsdf sample+eval+pdf", bsdf_stage, lobes, wo_local, pix, samp,
+           n_rays=n)
+
+    # ---- estimate_direct (includes 2 traversals)
     cfg_p = IntegratorConfig(kind="path", max_depth=5)
-    film = flm.new_film(meta.yres, meta.xres)
 
-    wave_d = jax.jit(lambda f, s: render_wave(scene, meta, cfg_d, f, s))
-    timeit("full direct wave", wave_d, film, jnp.uint32(0), iters=5)
-    wave_p = jax.jit(lambda f, s: render_wave(scene, meta, cfg_p, f, s))
-    dt = timeit("full path wave (depth 5)", wave_p, film, jnp.uint32(0), iters=5)
-    print(f"path rays/s: {n / dt / 1e6:.2f} M")
+    @jax.jit
+    def ed_stage(sg, lobes, wo_local, pix, samp):
+        active = jnp.ones((n,), bool)
+        lidx, pmf = _pick_light(scene, meta, cfg_p, pix, samp, 0, active)
+        return estimate_direct(
+            scene, meta, sg, lobes, wo_local, lidx, pmf,
+            rngmod.sample_2d(meta.sampler, pix, samp, 10),
+            rngmod.sample_1d(meta.sampler, pix, samp, 11),
+            rngmod.sample_1d(meta.sampler, pix, samp, 12),
+            rngmod.sample_2d(meta.sampler, pix, samp, 13),
+            active)
+    timeit("estimate_direct (2 traversals)", ed_stage, sg, lobes, wo_local,
+           pix, samp, n_rays=n)
+
+    # ---- film scatter-add
+    film = flm.new_film(meta.xres, meta.yres)
+    L = jnp.ones((n, 3), jnp.float32)
+    sx = (pix % meta.xres).astype(jnp.float32) + 0.5
+    sy = (pix // meta.xres).astype(jnp.float32) + 0.5
+
+    @jax.jit
+    def film_stage(film, sx, sy, L):
+        return flm.add_samples(film, meta.filter, sx, sy, L)
+    timeit("film add_samples (scatter)", film_stage, film, sx, sy, L, n_rays=n)
+
+    @jax.jit
+    def film_stage_grid(film, sx, sy, L):
+        return flm.add_samples_grid(film, meta.filter, sx, sy, L, 1)
+    timeit("film add_samples (grid)", film_stage_grid, film, sx, sy, L,
+           n_rays=n)
+
+    # ---- full waves
+    @jax.jit
+    def wave_d(film, pix, samp):
+        cfg = IntegratorConfig(kind="direct", max_depth=1)
+        return render_wave(scene, meta, cfg, film, samp, pix=pix, grid_chunk=1)
+    timeit("full direct wave", wave_d, film, pix, samp, iters=5, n_rays=n)
+
+    @jax.jit
+    def wave_p(film, pix, samp):
+        return render_wave(scene, meta, cfg_p, film, samp, pix=pix,
+                           grid_chunk=1)
+    dt = timeit("full path wave (depth 5)", wave_p, film, pix, samp, iters=5,
+                n_rays=n)
+    print(f"path camera-rays/s: {n / dt / 1e6:.2f} M")
+
+    # ---- BVH packet traversal on a 35k-tri sphere mesh
+    if os.environ.get("MICRO_SKIP_BVH", "0") != "1":
+        from grail.scene.bvh import build_bvh, bvh_to_device
+        verts, idx = tessellate_sphere(radius=1.0, nu=240, nv=74)
+        bscene = {"verts": jnp.asarray(verts),
+                  "tri_idx": jnp.asarray(idx.astype(np.int32))}
+        bscene["bvh"] = bvh_to_device(build_bvh(verts, idx))
+        print(f"  (sphere mesh: {len(idx)} tris)")
+        o_far = o * 0 + jnp.asarray([0.0, 0.0, 4.0])
+        bvhfn = jax.jit(lambda o, d, tmax: isect.intersect(bscene, o, d, tmax))
+        timeit("intersect BVH packet (35k tris)", bvhfn, o_far, d, tmax,
+               n_rays=n)
+
+    if "--json" in sys.argv:
+        out = sys.argv[sys.argv.index("--json") + 1]
+        with open(out, "w") as f:
+            json.dump({"backend": jax.default_backend(), "n_rays": n,
+                       "stages": RESULTS}, f, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

@@ -124,32 +124,82 @@ def power_heuristic(nf, f_pdf, ng, g_pdf):
 
 
 # ---------------------------------------------------------------- piecewise constants
+#
+# TPU indexing rules (measured on v5e): plain 1-D gathers `flat[idx]` run at
+# HBM speed; `take_along_axis` with per-lane minor indices and mixed
+# advanced+basic indexing (`tab[rows, :3, 3]`) hit an XLA gather path ~1000x
+# slower. Everything below therefore indexes through flattened tables.
+
+_COUNT_MAX = 64   # linear count beats log2 gathers up to this table width
+
+
 def batched_searchsorted(cdf, u):
     """Last interval index i with cdf[..., i] <= u, clipped to [0, n-2].
 
-    cdf (..., n) monotone, u (...) broadcastable with cdf[..., 0]. Vectorized
-    binary search (static log2 steps) so it fuses on the VPU.
+    cdf (..., n) monotone, u (...) broadcastable with cdf[..., 0]. Small
+    tables use a counting sum (pure VPU compares, no gather); shared 1-D
+    tables use binary search with plain gathers.
     """
     n = cdf.shape[-1]
-    lo = jnp.zeros(jnp.broadcast_shapes(u.shape, cdf.shape[:-1]), jnp.int32)
-    hi = jnp.full_like(lo, n - 1)
-    steps = max(1, int(math.ceil(math.log2(n))) + 1)
-    for _ in range(steps):
+    if n <= _COUNT_MAX or cdf.ndim > 1:
+        # counting: fully vectorized compares; O(n) per lane but gather-free
+        cnt = jnp.sum((cdf[..., 1:-1] <= u[..., None]).astype(jnp.int32),
+                      axis=-1)
+        return jnp.clip(cnt, 0, n - 2)
+    lo = jnp.zeros(u.shape, jnp.int32)
+    hi = jnp.full(u.shape, n - 1, jnp.int32)
+    for _ in range(max(1, int(math.ceil(math.log2(n))) + 1)):
         mid = (lo + hi + 1) // 2
-        cm = jnp.take_along_axis(
-            jnp.broadcast_to(cdf, lo.shape + (n,)), mid[..., None], axis=-1
-        )[..., 0]
+        cm = cdf[mid]
         go_right = cm <= u
         lo = jnp.where(go_right, mid, lo)
         hi = jnp.where(go_right, hi, mid - 1)
     return jnp.clip(lo, 0, n - 2)
 
 
+def searchsorted_rows(cdf_tab, rows, u):
+    """Per-lane interval search in a table of CDF rows.
+
+    cdf_tab (R, n), rows (N,) int32 row per lane, u (N,). Returns (N,) index
+    in [0, n-2]. Binary search with flat 1-D gathers (the fast TPU pattern);
+    avoids ever materializing the (N, n) per-lane rows.
+    """
+    r, n = cdf_tab.shape
+    flat = cdf_tab.reshape(-1)
+    base = rows * n
+    if n <= _COUNT_MAX and r == 1:
+        return batched_searchsorted(cdf_tab[0], u)
+    lo = jnp.zeros(u.shape, jnp.int32)
+    hi = jnp.full(u.shape, n - 1, jnp.int32)
+    for _ in range(max(1, int(math.ceil(math.log2(n))) + 1)):
+        mid = (lo + hi + 1) // 2
+        cm = flat[base + mid]
+        go_right = cm <= u
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid - 1)
+    return jnp.clip(lo, 0, n - 2)
+
+
+def gather_rows(tab, rows, idx):
+    """tab (R, n), rows (N,), idx (N,) → tab[rows, idx] via flat 1-D gather."""
+    return tab.reshape(-1)[rows * tab.shape[-1] + idx]
+
+
 def _gather_last(a, idx):
-    """a (..., n), idx (...) → a[..., idx] elementwise over batch dims."""
+    """a (..., n), idx (...) → a[..., idx] elementwise over batch dims.
+
+    Gather-free for small n (one-hot contraction); flat gather otherwise."""
     n = a.shape[-1]
+    if n <= _COUNT_MAX:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        oh = (idx[..., None] == iota).astype(a.dtype)
+        return jnp.sum(jnp.broadcast_to(a, idx.shape + (n,)) * oh, axis=-1)
+    if a.ndim == 1:
+        return a[idx]
     a = jnp.broadcast_to(a, idx.shape + (n,))
-    return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+    flat = a.reshape(-1, n)
+    lane = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    return flat.reshape(-1)[lane * n + idx.reshape(-1)].reshape(idx.shape)
 
 
 def build_distribution_1d(func):
@@ -206,14 +256,19 @@ def build_distribution_2d(func):
 
 
 def sample_distribution_2d(dist, u1, u2):
-    """(u1,u2) → ((u,v) in [0,1)^2, pdf). iv gathers rows of the conditional."""
+    """(u1,u2) → ((u,v) in [0,1)^2, pdf). Conditional rows are addressed with
+    flat gathers — the per-lane (N, nu) row materialization the naive
+    `cond["cdf"][iv]` would do costs O(N·nu) memory and a slow TPU gather."""
     v, pdf_v, iv = sample_distribution_1d_continuous(dist["marg"], u2)
-    cond_row = {
-        "func": dist["cond"]["func"][iv],       # (..., nu)
-        "cdf": dist["cond"]["cdf"][iv],         # (..., nu+1)
-        "func_int": dist["cond"]["func_int"][iv],
-    }
-    u, pdf_u, _ = sample_distribution_1d_continuous(cond_row, u1)
+    cond = dist["cond"]
+    nu = cond["func"].shape[-1]
+    off = searchsorted_rows(cond["cdf"], iv, u1)
+    c0 = gather_rows(cond["cdf"], iv, off)
+    c1 = gather_rows(cond["cdf"], iv, off + 1)
+    du = (u1 - c0) / jnp.maximum(c1 - c0, 1e-12)
+    u = (off.astype(jnp.float32) + du) / nu
+    f_int = cond["func_int"][iv]
+    pdf_u = gather_rows(cond["func"], iv, off) / jnp.maximum(f_int, 1e-12)
     return u, v, pdf_u * pdf_v
 
 
@@ -224,4 +279,4 @@ def distribution_2d_pdf(dist, u, v):
     iu = jnp.clip((u * nu).astype(jnp.int32), 0, nu - 1)
     iv = jnp.clip((v * nv).astype(jnp.int32), 0, nv - 1)
     marg_int = dist["marg"]["func_int"]
-    return func[iv, iu] / jnp.maximum(marg_int, 1e-12)
+    return gather_rows(func, iv, iu) / jnp.maximum(marg_int, 1e-12)

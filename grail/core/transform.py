@@ -239,6 +239,41 @@ def animated_pack(m_start, m_end):
     }
 
 
+def quat_rotate(q, v):
+    """Rotate vectors v (...,3) by unit quaternions q (...,4) [x,y,z,w] —
+    v + 2·cross(q.xyz, cross(q.xyz, v) + w·v); no matrix materialization."""
+    xyz = q[..., :3]
+    w = q[..., 3:4]
+    c1 = jnp.cross(xyz, v) + w * v
+    return v + 2.0 * jnp.cross(xyz, c1)
+
+
+def animated_apply(packed, time, v, is_point=True):
+    """Apply the interpolated transform at `time` (...,) to v (...,3) WITHOUT
+    building per-lane (N,4,4) matrices (the .at[].set construction compiles to
+    64 MB dynamic-update-slices — measured 150 ms/Mray on TPU).
+
+    TRS order matches AnimatedTransform::Interpolate: scale, rotate, translate.
+    """
+    tt = time[..., None]
+    S = (1.0 - time)[..., None, None] * packed["s"][0] \
+        + time[..., None, None] * packed["s"][1]
+    q = slerp(time, jnp.broadcast_to(packed["q"][0], time.shape + (4,)),
+              jnp.broadcast_to(packed["q"][1], time.shape + (4,)))
+    sv = jnp.einsum("...jk,...k->...j", S, v, precision="highest")
+    out = quat_rotate(q, sv)
+    if is_point:
+        t = (1.0 - tt) * packed["t"][0] + tt * packed["t"][1]
+        out = out + t
+    # static (non-animated) fallback: one shared 4x4 (precision=highest —
+    # TPU matmul otherwise runs bf16 passes, visibly shifting geometry)
+    m0 = packed["m0"]
+    fixed = jnp.einsum("ij,...j->...i", m0[:3, :3], v, precision="highest")
+    if is_point:
+        fixed = fixed + m0[:3, 3]
+    return jnp.where(packed["animated"], out, fixed)
+
+
 def animated_eval(packed, time):
     """Device: interpolated world matrices (...,4,4) at `time` (...,) in [0,1]."""
     t = (1.0 - time)[..., None] * packed["t"][0] + time[..., None] * packed["t"][1]

@@ -100,8 +100,7 @@ def generate_rays(camera, px, py, u_film_x, u_film_y, u_lens_1, u_lens_2, u_time
         d = jnp.where(use_dof, d_dof, d)
 
     time = lerp(u_time, camera["shutter"][0], camera["shutter"][1])
-    c2w = tr.animated_eval(camera["c2w"], time)
-    o_w = tr.xform_p(c2w, o)
-    d_w = normalize(tr.xform_v(c2w, d))
+    o_w = tr.animated_apply(camera["c2w"], time, o, is_point=True)
+    d_w = normalize(tr.animated_apply(camera["c2w"], time, d, is_point=False))
     return {"o": o_w, "d": d_w, "time": time,
             "weight": jnp.ones(px.shape, jnp.float32)}

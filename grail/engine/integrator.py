@@ -225,10 +225,10 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
             hit_prim = jnp.maximum(hit2["prim"], 0)
             hit_is_chosen = (hit2["prim"] >= 0) & \
                 (scene["tri_light"][hit_prim] == light_idx)
-            sg2 = geom.shading_geometry(scene, hit2, p, wi_w)
-            cos_at_light = dot(sg2["ng"], -wi_w)
+            hg2 = geom.hit_geometric(scene, hit2)
+            cos_at_light = dot(hg2["ng"], -wi_w)
             lp = lt.area_light_pdf_dir(scene, light_idx, hit2["t"], cos_at_light)
-            Le2 = lt.area_light_emitted(scene, sg2, -wi_w)
+            Le2 = lt.area_light_emitted(scene, hg2, -wi_w)
             light_pdf_dir = jnp.where(hit_is_chosen, lp, light_pdf_dir)
             Li2 = jnp.where(hit_is_chosen[..., None], Le2, Li2)
             hit_light = hit_light | hit_is_chosen

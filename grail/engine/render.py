@@ -21,16 +21,20 @@ from .integrator import IntegratorConfig, li, SLOT_FILM, SLOT_LENS, SLOT_TIME
 
 
 def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
-                aux=None):
+                aux=None, grid_chunk=None):
     """One sample-per-pixel wave: raygen → Li → film accumulate.
 
     pix: optional (N,) pixel ids to render (defaults to all); samp_idx scalar.
     mask: optional (N,) bool — lanes with False contribute nothing (used for
     padding when the pixel axis is sharded across devices).
     aux: integrator preprocessing output (photon map, SH probes...).
+    grid_chunk: static int when pix is the full pixel grid tiled grid_chunk
+    times (lane i ↔ pixel i % npix) — enables the dense film path.
     """
     if pix is None:
         pix = jnp.arange(meta.xres * meta.yres, dtype=jnp.uint32)
+        if grid_chunk is None:
+            grid_chunk = 1
     # samp_idx may be a scalar (one sample for every pixel) or a per-lane
     # array (multi-spp megawaves: pixels tiled × sample indices repeated)
     samp = jnp.broadcast_to(jnp.asarray(samp_idx, jnp.uint32), pix.shape)
@@ -80,6 +84,9 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
     sx = px.astype(jnp.float32) + ufx
     sy = py.astype(jnp.float32) + ufy
     w = None if mask is None else mask.astype(jnp.float32)
+    if grid_chunk is not None:
+        return flm.add_samples_grid(film, meta.filter, sx, sy, L, grid_chunk,
+                                    weight=w)
     return flm.add_samples(film, meta.filter, sx, sy, L, weight=w)
 
 
@@ -88,9 +95,40 @@ def _render_wave_jit(scene, meta, cfg, film, samp_idx, aux=None):
     return render_wave(scene, meta, cfg, film, samp_idx, aux=aux)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _render_chunk_jit(scene, meta, cfg, film, pix, samp, aux=None):
-    return render_wave(scene, meta, cfg, film, samp, pix=pix, aux=aux)
+def _render_chunk(scene, meta, cfg, film, s0, chunk, aux=None):
+    """One megawave: pixels × `chunk` consecutive sample indices starting at
+    s0 — pix/samp built ON DEVICE (a host-built (N,) upload costs a ~130 ms
+    tunnel round trip per launch on this platform)."""
+    n_pix = meta.xres * meta.yres
+    pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), chunk)
+    samp = jnp.repeat(jnp.asarray(s0, jnp.uint32)
+                      + jnp.arange(chunk, dtype=jnp.uint32), n_pix)
+    return render_wave(scene, meta, cfg, film, samp, pix=pix, aux=aux,
+                       grid_chunk=chunk)
+
+
+_render_chunk_jit = partial(jax.jit, static_argnums=(1, 2, 5))(_render_chunk)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
+def _render_fused_jit(scene, meta, cfg, film, spp, spp_chunk, start_wave,
+                      aux=None):
+    """Whole render in ONE dispatch: lax.fori_loop over megawaves with the
+    film as carry. Counter-based sampling makes every wave a pure function of
+    (pixel, sample) ids, so the loop carries no sampler state (SURVEY §2.10 P10)."""
+    total = spp - start_wave
+    n_full = total // spp_chunk
+
+    def body(w, film):
+        s0 = jnp.uint32(start_wave) + jnp.uint32(w) * jnp.uint32(spp_chunk)
+        return _render_chunk(scene, meta, cfg, film, s0, spp_chunk, aux)
+
+    film = jax.lax.fori_loop(0, n_full, body, film)
+    rem = total - n_full * spp_chunk
+    if rem:
+        s0 = jnp.uint32(start_wave + n_full * spp_chunk)
+        film = _render_chunk(scene, meta, cfg, film, s0, rem, aux)
+    return film
 
 
 def auto_spp_chunk(meta, spp, target_rays=1 << 20):
@@ -147,11 +185,18 @@ def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0
         aux = irradiance_preprocess(scene, meta, cfg)
     if spp_chunk is None:
         spp_chunk = auto_spp_chunk(meta, spp)
-    n_pix = meta.xres * meta.yres
-    import numpy as _np
     import time as _time
     t0 = _time.perf_counter()
     rays_done = 0
+    # fast path: no per-wave host callbacks → the whole render is ONE jitted
+    # dispatch (lax.fori_loop over megawaves); per-launch tunnel latency on
+    # this platform is ~130 ms, so launch count dominates small renders
+    if (progress is None and not checkpoint_path and not metrics_path
+            and start_wave < spp):
+        film = _render_fused_jit(scene, meta, cfg, film, spp, spp_chunk,
+                                 start_wave, aux)
+        img = flm.develop(film)
+        return img, film
     s = start_wave
     while s < spp:
         chunk = min(spp_chunk, spp - s)
@@ -161,11 +206,8 @@ def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0
             # megawave: every pixel × chunk consecutive sample indices in one
             # launch (counter-based RNG keeps each (pixel, s) draw identical
             # to the one-wave-at-a-time schedule)
-            pix = jnp.asarray(_np.tile(_np.arange(n_pix, dtype=_np.uint32),
-                                       chunk))
-            samp = jnp.asarray(_np.repeat(
-                _np.arange(s, s + chunk, dtype=_np.uint32), n_pix))
-            film = _render_chunk_jit(scene, meta, cfg, film, pix, samp, aux)
+            film = _render_chunk_jit(scene, meta, cfg, film, jnp.uint32(s),
+                                     chunk, aux)
         s += chunk
         if progress is not None:
             progress(s, spp)

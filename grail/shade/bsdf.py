@@ -465,10 +465,15 @@ def bsdf_sample(lobes, wo, u1, u2, u_comp, present, include_specular=True):
     cum = jnp.cumsum(match.astype(jnp.int32), axis=-1)  # (N,K)
     slot_sel = jnp.argmax((cum == (which + 1)[:, None]) & match, axis=-1)  # (N,)
 
-    # gather chosen slot params
-    gather = lambda a: jnp.take_along_axis(
-        a, slot_sel[:, None, None] if a.ndim == 3 else slot_sel[:, None], axis=1
-    ).squeeze(1)
+    # gather chosen slot params — one-hot contraction over the (small) K axis
+    # (take_along_axis per-lane minor-dim gathers are pathologically slow on TPU)
+    oh = (slot_sel[:, None] == jnp.arange(K, dtype=jnp.int32))
+
+    def gather(a):
+        m = oh[..., None] if a.ndim == 3 else oh
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            return jnp.sum(jnp.where(m, a, 0), axis=1)
+        return jnp.sum(jnp.where(m, a, 0.0), axis=1)
     ch = {key: gather(lobes[key]) for key in lobes}
 
     wi, valid = lobe_sample_wi(ch["type"], wo, u1, u2, ch["f0"], ch["f1"], ch["f2"],

@@ -100,6 +100,25 @@ def shading_geometry(scene, hit, ray_o, ray_d):
     }
 
 
+def hit_geometric(scene, hit):
+    """Lean hit record: orientation-corrected geometric normal + light id only.
+
+    estimate_direct's BSDF-sampling branch needs just these two to evaluate
+    Le and the light pdf at the hit (pbrt Intersection::Le) — the full
+    shading_geometry (uv/tangents/derivs) costs ~15 ms/Mray more."""
+    prim = jnp.maximum(hit["prim"], 0)
+    idx = scene["tri_idx"][prim]
+    v0 = scene["verts"][idx[..., 0]]
+    v1 = scene["verts"][idx[..., 1]]
+    v2 = scene["verts"][idx[..., 2]]
+    ng = normalize(cross(v1 - v0, v2 - v0))
+    flags = scene["tri_flags"][prim]
+    flip = (((flags & REVERSE_ORIENTATION) != 0)
+            ^ ((flags & XFORM_SWAPS_HANDEDNESS) != 0))
+    ng = jnp.where(flip[..., None], -ng, ng)
+    return {"ng": ng, "light": scene["tri_light"][prim]}
+
+
 def world_to_local(sg, w):
     """World direction → shading frame (pbrt BSDF::WorldToLocal)."""
     return jnp.stack([dot(w, sg["ss"]), dot(w, sg["ts"]), dot(w, sg["ns"])], axis=-1)
@@ -139,7 +158,9 @@ def uv_differentials(sg, rx_o, rx_d, ry_o, ry_d):
     ax1 = jnp.where(drop == 2, 1, 2)
 
     def pick(v, a):
-        return jnp.take_along_axis(v, a[..., None], axis=-1)[..., 0]
+        # one-hot contraction over the 3 components (fast-TPU indexing rule)
+        oh = (a[..., None] == jnp.arange(3, dtype=jnp.int32)).astype(v.dtype)
+        return jnp.sum(v * oh, axis=-1)
 
     A00 = pick(sg["dpdu"], ax0)
     A01 = pick(sg["dpdv"], ax0)

@@ -58,10 +58,11 @@ def _projection_factor(lights, li, w_world, images, light_image_rows):
     proj = lights["proj"][li]                          # (...,4,4)
     behind = wl[..., 2] < lights["proj_hither"][li]
     pw = tr.xform_p(proj, wl)
-    s = (pw[..., 0] - lights["screen"][li, 0]) / (
-        lights["screen"][li, 1] - lights["screen"][li, 0])
-    t = (pw[..., 1] - lights["screen"][li, 2]) / (
-        lights["screen"][li, 3] - lights["screen"][li, 2])
+    scr = lights["screen"]
+    s0, s1 = scr[:, 0][li], scr[:, 1][li]
+    t0, t1 = scr[:, 2][li], scr[:, 3][li]
+    s = (pw[..., 0] - s0) / (s1 - s0)
+    t = (pw[..., 1] - t0) / (t1 - t0)
     inside = (~behind) & (s >= 0) & (s <= 1) & (t >= 0) & (t <= 1)
     val = jnp.zeros(w_world.shape[:-1] + (3,), jnp.float32)
     from .textures import image_bilinear
@@ -91,9 +92,9 @@ def _area_sample(scene, li, p, u1, u2, u3):
 
     Returns (wi, li_radiance_mask_cos, pdf_solidangle, dist, n_l)."""
     lights = scene["lights"]
-    cdf = lights["acdf"][li]                          # (N, AT+1)
-    tri_slot = mc.batched_searchsorted(cdf, u3)       # (N,)
-    tri = lights["atri"][li, tri_slot]                # global tri index
+    # flat-gather row search: never materializes per-lane (N, AT+1) CDF rows
+    tri_slot = mc.searchsorted_rows(lights["acdf"], li, u3)      # (N,)
+    tri = mc.gather_rows(lights["atri"], li, tri_slot)           # global tri index
     idx = scene["tri_idx"][tri]
     v0 = scene["verts"][idx[..., 0]]
     v1 = scene["verts"][idx[..., 1]]
@@ -140,7 +141,9 @@ def sample_li(scene, li, p, u1, u2, u3, present_types):
         dist = jnp.where(mask, dist_c, dist)
 
     emit = lights["emit"][li]
-    lpos = lights["l2w"][li, :3, 3]
+    # slice-then-gather: `l2w[li, :3, 3]` (advanced+basic mix) hits a ~1000x
+    # slower XLA:TPU gather path than gathering from the pre-sliced table
+    lpos = lights["l2w"][:, :3, 3][li]
 
     if (POINT in present_types) or (SPOT in present_types) \
             or (PROJECTION in present_types) or (GONIOMETRIC in present_types):
