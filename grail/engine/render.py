@@ -21,7 +21,7 @@ from .integrator import IntegratorConfig, li, SLOT_FILM, SLOT_LENS, SLOT_TIME
 
 
 def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
-                aux=None, grid_chunk=None):
+                aux=None, grid_chunk=None, tiled=False):
     """One sample-per-pixel wave: raygen → Li → film accumulate.
 
     pix: optional (N,) pixel ids to render (defaults to all); samp_idx scalar.
@@ -32,7 +32,17 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
     times (lane i ↔ pixel i % npix) — enables the dense film path.
     """
     if pix is None:
-        pix = jnp.arange(meta.xres * meta.yres, dtype=jnp.uint32)
+        lane = jnp.arange(meta.xres * meta.yres, dtype=jnp.uint32)
+        if flm.tiled_order(meta):
+            # 8x16-tile pixel order: each 128-lane BVH sub-packet gets a
+            # compact image footprint (SURVEY §2.10 P1 ray re-packing,
+            # done statically — no per-wave sort)
+            px_t, py_t = flm.lane_pixel(lane, meta.xres)
+            pix = (py_t.astype(jnp.uint32) * meta.xres
+                   + px_t.astype(jnp.uint32))
+            tiled = True
+        else:
+            pix = lane
         if grid_chunk is None:
             grid_chunk = 1
     # samp_idx may be a scalar (one sample for every pixel) or a per-lane
@@ -86,7 +96,7 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
     w = None if mask is None else mask.astype(jnp.float32)
     if grid_chunk is not None:
         return flm.add_samples_grid(film, meta.filter, sx, sy, L, grid_chunk,
-                                    weight=w)
+                                    weight=w, tiled=tiled)
     return flm.add_samples(film, meta.filter, sx, sy, L, weight=w)
 
 
@@ -100,11 +110,19 @@ def _render_chunk(scene, meta, cfg, film, s0, chunk, aux=None):
     s0 — pix/samp built ON DEVICE (a host-built (N,) upload costs a ~130 ms
     tunnel round trip per launch on this platform)."""
     n_pix = meta.xres * meta.yres
-    pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.uint32), chunk)
     samp = jnp.repeat(jnp.asarray(s0, jnp.uint32)
                       + jnp.arange(chunk, dtype=jnp.uint32), n_pix)
+    lane = jnp.arange(n_pix, dtype=jnp.uint32)
+    if flm.tiled_order(meta):
+        px_t, py_t = flm.lane_pixel(lane, meta.xres)
+        wave_pix = py_t.astype(jnp.uint32) * meta.xres + px_t.astype(jnp.uint32)
+        tiled = True
+    else:
+        wave_pix = lane
+        tiled = False
+    pix = jnp.tile(wave_pix, chunk)
     return render_wave(scene, meta, cfg, film, samp, pix=pix, aux=aux,
-                       grid_chunk=chunk)
+                       grid_chunk=chunk, tiled=tiled)
 
 
 _render_chunk_jit = partial(jax.jit, static_argnums=(1, 2, 5))(_render_chunk)

@@ -4,7 +4,7 @@ per-ray traversal stack, near-child-first ordering via split axis, slab tests
 against node bounds, Möller-Trumbore at leaves updating ray tmax.
 
 This module holds the pure-jnp `lax.while_loop` implementation (runs everywhere,
-reference for correctness); kernels/bvh_pallas.py holds the Pallas TPU kernel that
+reference for correctness); kernels/bvh_stream.py holds the Pallas TPU kernel that
 the dispatch prefers on TPU.
 """
 from __future__ import annotations

@@ -119,43 +119,66 @@ def _morton3(x):
     return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
 
 
-def _packet_bvh(scene, o, d, tmax, tmin, sort=True):
-    """Pallas packet traversal with direction-octant + origin-Morton ray
-    sorting (restores block coherence for bounce/shadow waves; the wavefront
-    re-packing from SURVEY §2.10 P1)."""
-    from .bvh_pallas import pack_bvh_tables, bvh_intersect_packet
+def _ray_sort_key(scene, o, d):
+    """Coherence sort key: direction octant | coarse origin Morton | direction
+    Morton. The direction bits matter for pinhole cameras where every origin
+    is identical — they turn raster-row ray order into square image tiles,
+    which is what keeps a 128-ray sub-packet's BVH working set small (the
+    wavefront re-packing from SURVEY §2.10 P1)."""
+    bmin = jnp.min(scene["verts"], axis=0)
+    bmax = jnp.max(scene["verts"], axis=0)
+    tn = (o - bmin) / jnp.maximum(bmax - bmin, 1e-9)
+    octant = (((d[:, 0] >= 0).astype(jnp.uint32) << 2)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | (d[:, 2] >= 0).astype(jnp.uint32))
+    mo = _morton3(tn)                       # 30-bit origin Morton
+    md = _morton3(d * 0.5 + 0.5)            # 30-bit direction Morton
+    return (octant << 29) | ((mo >> 15) << 14) | (md >> 16)
+
+
+def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
+    """Pallas ordered sub-packet streaming traversal.
+
+    sort: dynamically argsort rays by _ray_sort_key before traversal. Off by
+    default: XLA's 1M-key argsort costs ~140 ms on this chip — far more than
+    it saves — and the render pipeline already emits waves in a static 8x16
+    pixel-tile order (engine/film.py lane_pixel) that secondary rays inherit.
+    GRAIL_SORT_RAYS=1 forces it on for externally-ordered ray batches."""
+    import os
+    if sort is None:
+        sort = os.environ.get("GRAIL_SORT_RAYS", "0") == "1"
+    from .bvh_stream import bvh_stream_intersect, bvh_stream_intersect_p
     from .pallas_intersect import pack_tris
     n = o.shape[0]
     if tmin is None:
         tmin = jnp.zeros((n,), jnp.float32)
-    nodes_tab, tris_tab = pack_bvh_tables(scene)
-    tris9 = pack_tris(scene)
+    table = scene["bvh"]["stream"]
     if sort and n >= 2048:
-        bmin = jnp.min(scene["verts"], axis=0)
-        bmax = jnp.max(scene["verts"], axis=0)
-        tn = (o - bmin) / jnp.maximum(bmax - bmin, 1e-9)
-        octant = (((d[:, 0] >= 0).astype(jnp.uint32) << 2)
-                  | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
-                  | (d[:, 2] >= 0).astype(jnp.uint32))
-        key = (octant << 29) | (_morton3(tn) >> 1)
-        order = jnp.argsort(key)
+        order = jnp.argsort(_ray_sort_key(scene, o, d))
+        o_s, d_s = o[order], d[order]
+        tmin_s, tmax_s = tmin[order], tmax[order]
+        if any_hit:
+            occ = bvh_stream_intersect_p(table, o_s, d_s, tmin_s, tmax_s)
+            return {"occluded": occ[jnp.argsort(order)]}
+        t, prim, b1, b2 = bvh_stream_intersect(
+            table, pack_tris(scene), o_s, d_s, tmin_s, tmax_s)
         inv = jnp.argsort(order)
-        t, prim, b1, b2 = bvh_intersect_packet(
-            nodes_tab, tris_tab, tris9, o[order], d[order],
-            tmin[order], tmax[order])
         t, prim, b1, b2 = t[inv], prim[inv], b1[inv], b2[inv]
     else:
-        t, prim, b1, b2 = bvh_intersect_packet(
-            nodes_tab, tris_tab, tris9, o, d, tmin, tmax)
+        if any_hit:
+            return {"occluded": bvh_stream_intersect_p(table, o, d, tmin,
+                                                       tmax)}
+        t, prim, b1, b2 = bvh_stream_intersect(
+            table, pack_tris(scene), o, d, tmin, tmax)
     hit = prim >= 0
     return {"t": jnp.where(hit, t, BIG_T), "prim": prim, "b1": b1, "b2": b2}
 
 
-def _use_packet(scene):
+def _use_stream(scene):
     if not _pallas_ok():
         return False
-    from .bvh_pallas import tables_fit_vmem
-    return tables_fit_vmem(scene)
+    from .bvh_stream import stream_fits_vmem
+    return stream_fits_vmem(scene)
 
 
 def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
@@ -163,8 +186,8 @@ def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:
-        if _use_packet(scene):
-            return _packet_bvh(scene, o, d, tmax, tmin)
+        if _use_stream(scene):
+            return _stream_bvh(scene, o, d, tmax, tmin)
         from .bvh_traverse import bvh_intersect
         return bvh_intersect(scene, o, d, tmax, tmin)
     if _pallas_ok():
@@ -177,8 +200,9 @@ def intersect_p(scene, o, d, tmax, tmin=None, use_bvh=None):
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:
-        if _use_packet(scene):
-            return _packet_bvh(scene, o, d, tmax, tmin)["prim"] >= 0
+        if _use_stream(scene):
+            return _stream_bvh(scene, o, d, tmax, tmin,
+                               any_hit=True)["occluded"]
         from .bvh_traverse import bvh_intersect_p
         return bvh_intersect_p(scene, o, d, tmax, tmin)
     if _pallas_ok():

@@ -53,7 +53,7 @@ def _load():
             lib.grail_build_bvh.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_long,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
-                ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -71,7 +71,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_bvh_native(verts, tris, max_prims=4):
+def build_bvh_native(verts, tris, max_prims=4, force_leaf=0):
     """C++ binned-SAH build; same output dict as scene/bvh.py build_bvh.
 
     Returns None if the native library can't be built/loaded."""
@@ -94,7 +94,7 @@ def build_bvh_native(verts, tris, max_prims=4):
     ip = ctypes.POINTER(ctypes.c_int32)
     n_nodes = lib.grail_build_bvh(
         verts.ctypes.data_as(fp), verts.shape[0],
-        tris.ctypes.data_as(ip), T, int(max_prims),
+        tris.ctypes.data_as(ip), T, int(max_prims), int(force_leaf),
         bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
         right.ctypes.data_as(ip), prim_off.ctypes.data_as(ip),
         nprims.ctypes.data_as(ip), axis.ctypes.data_as(ip),

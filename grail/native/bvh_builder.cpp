@@ -46,6 +46,7 @@ struct Builder {
     const V3 *prim_max;
     const V3 *centroid;
     int max_prims;
+    int force_leaf;   // make a leaf whenever n <= force_leaf (stream kernel)
 
     std::vector<float> bmin, bmax;
     std::vector<int32_t> right, prim_off, nprims, axis;
@@ -82,7 +83,7 @@ struct Builder {
             mx = vmax(mx, prim_max[ids[i]]);
         }
         set_bounds(ni, mn, mx);
-        if (n <= 1) {
+        if (n <= std::max(1, force_leaf)) {
             make_leaf(ni, ids, n);
             return ni;
         }
@@ -193,7 +194,8 @@ extern "C" {
 // Returns the node count; outputs sized by caller: bounds 3*(2T-1) floats,
 // index arrays (2T-1) int32, prim_ids T int32.
 long grail_build_bvh(const float *verts, long n_verts, const int32_t *tris,
-                     long n_tris, int max_prims, float *out_bmin,
+                     long n_tris, int max_prims, int force_leaf,
+                     float *out_bmin,
                      float *out_bmax, int32_t *out_right,
                      int32_t *out_prim_off, int32_t *out_nprims,
                      int32_t *out_axis, int32_t *out_prim_ids) {
@@ -218,6 +220,7 @@ long grail_build_bvh(const float *verts, long n_verts, const int32_t *tris,
     bld.prim_max = pmax.data();
     bld.centroid = cent.data();
     bld.max_prims = max_prims;
+    bld.force_leaf = force_leaf;
     long cap = 2 * n_tris - 1;
     bld.bmin.reserve(3 * cap);
     bld.bmax.reserve(3 * cap);

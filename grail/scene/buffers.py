@@ -371,8 +371,14 @@ class SceneBuilder:
         use_bvh = self.use_bvh if self.use_bvh is not None else n_tris > 64
         if use_bvh:
             from .bvh import build_bvh_auto as build_bvh, bvh_to_device
+            from ..kernels.bvh_stream import build_stream_table
             tri_all = np.concatenate(self.tri_idx)
-            scene["bvh"] = bvh_to_device(build_bvh(verts, tri_all))
+            # force_leaf=4: the streaming kernel pays the same for a box step
+            # as a tri step, so SAH's split-to-1 (single-ray cost model) loses
+            b_np = build_bvh(verts, tri_all, max_prims=4, force_leaf=4)
+            scene["bvh"] = bvh_to_device(b_np)
+            scene["bvh"]["stream"] = jnp.asarray(
+                build_stream_table(b_np, verts, tri_all))
         else:
             scene["bvh"] = None
 

@@ -28,9 +28,14 @@ def _surface_area(mn, mx):
                   + d[..., 2] * d[..., 0])
 
 
-def build_bvh(verts, tris, max_prims=MAX_PRIMS_IN_NODE):
+def build_bvh(verts, tris, max_prims=MAX_PRIMS_IN_NODE, force_leaf=0):
     """SAH BVH over triangles. verts (V,3), tris (T,3) numpy. Returns dict of np
-    arrays (flattened tree, see module docstring)."""
+    arrays (flattened tree, see module docstring).
+
+    force_leaf: make a leaf whenever n <= force_leaf regardless of SAH. The
+    streaming traversal kernel (kernels/bvh_stream.py) pays the same for a box
+    step as for a triangle step, so splitting below ~4 prims never pays there —
+    unlike pbrt's single-ray cost model (trav 0.125) which splits to 1."""
     verts = np.asarray(verts, np.float32)
     tris = np.asarray(tris, np.int64)
     T = tris.shape[0]
@@ -67,7 +72,7 @@ def build_bvh(verts, tris, max_prims=MAX_PRIMS_IN_NODE):
         nodes_min[ni] = mn
         nodes_max[ni] = mx
         n = len(ids)
-        if n <= 1:
+        if n <= max(1, force_leaf):
             nodes_off[ni] = len(ordered)
             nodes_n[ni] = n
             ordered.extend(ids.tolist())
@@ -145,7 +150,7 @@ def build_bvh(verts, tris, max_prims=MAX_PRIMS_IN_NODE):
 NATIVE_THRESHOLD = 2048     # tris above which the C++ builder is worth loading
 
 
-def build_bvh_auto(verts, tris, max_prims=MAX_PRIMS_IN_NODE):
+def build_bvh_auto(verts, tris, max_prims=MAX_PRIMS_IN_NODE, force_leaf=0):
     """Builder dispatch: C++ (grail/native) for large meshes, NumPy otherwise.
 
     GRAIL_NATIVE_BVH=1 forces native, =0 forces NumPy. Both emit the same
@@ -156,10 +161,10 @@ def build_bvh_auto(verts, tris, max_prims=MAX_PRIMS_IN_NODE):
     want_native = pref == "1" or (pref != "0" and T >= NATIVE_THRESHOLD)
     if want_native:
         from ..native import build_bvh_native
-        b = build_bvh_native(verts, tris, max_prims)
+        b = build_bvh_native(verts, tris, max_prims, force_leaf)
         if b is not None:
             return b
-    return build_bvh(verts, tris, max_prims)
+    return build_bvh(verts, tris, max_prims, force_leaf)
 
 
 def bvh_to_device(b):

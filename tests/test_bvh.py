@@ -120,14 +120,16 @@ def test_native_builder_matches_numpy():
     np.testing.assert_allclose(bn["bounds_max"], bp["bounds_max"], rtol=1e-6)
 
 
-def test_packet_traversal_matches_brute():
-    """Pallas packet traversal (interpret mode on CPU) vs exhaustive oracle —
-    the aggregatetest criterion applied to the TPU kernel."""
+def test_stream_traversal_matches_brute():
+    """Pallas ordered sub-packet streaming traversal (interpret mode on CPU)
+    vs exhaustive oracle — the aggregatetest criterion applied to the TPU
+    kernel. Covers closest-hit, any-hit, finite segments, and non-block-
+    multiple ray counts (padding)."""
     import numpy as np
     import jax.numpy as jnp
-    from grail.scene.bvh import build_bvh, bvh_to_device
-    from grail.kernels.bvh_pallas import pack_bvh_tables, _run
-    from grail.kernels.intersect import intersect_brute
+    from grail.scene.bvh import build_bvh
+    from grail.kernels.bvh_stream import build_stream_table, _run
+    from grail.kernels.intersect import intersect_brute, intersect_p_brute
 
     rng = np.random.default_rng(3)
     T = 300
@@ -135,18 +137,17 @@ def test_packet_traversal_matches_brute():
     tris = np.arange(T * 3, dtype=np.int32).reshape(T, 3)
     c = verts[tris].mean(1, keepdims=True)
     verts[tris.reshape(-1)] = (c + (verts[tris] - c) * 0.3).reshape(-1, 3)
-    scene = {"verts": jnp.asarray(verts), "tri_idx": jnp.asarray(tris),
-             "bvh": bvh_to_device(build_bvh(verts, tris))}
-    n = 1024
+    scene = {"verts": jnp.asarray(verts), "tri_idx": jnp.asarray(tris)}
+    bvh_np = build_bvh(verts, tris, max_prims=4, force_leaf=4)
+    table = jnp.asarray(build_stream_table(bvh_np, verts, tris))
+    n = 1024 + 100   # non-multiple of the 1024-ray block: exercises padding
     o = jnp.asarray(rng.random((n, 3)).astype(np.float32) * 6)
     d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
     tmin = jnp.zeros((n,), jnp.float32)
     tmax = jnp.full((n,), 1e7, jnp.float32)
 
-    nodes_tab, tris_tab = pack_bvh_tables(scene)
-    t, prim, b1, b2 = _run(nodes_tab, tris_tab, o, d, tmin, tmax,
-                           interpret=True)
+    t, prim, b1, b2 = _run(table, o, d, tmin, tmax, interpret=True)
     ref = intersect_brute(scene, o, d, tmax)
     hit = np.asarray(prim) >= 0
     hit_ref = np.asarray(ref["prim"]) >= 0
@@ -155,3 +156,14 @@ def test_packet_traversal_matches_brute():
     np.testing.assert_allclose(np.asarray(t)[ok], np.asarray(ref["t"])[ok],
                                rtol=1e-4, atol=1e-4)
     assert (np.asarray(prim)[ok] == np.asarray(ref["prim"])[ok]).all()
+
+    # any-hit, full range and finite segments
+    _, prim_a, _, _ = _run(table, o, d, tmin, tmax, any_hit=True,
+                           interpret=True)
+    occ_ref = np.asarray(intersect_p_brute(scene, o, d, tmax))
+    assert ((np.asarray(prim_a) >= 0) == occ_ref).all()
+    tmax2 = jnp.full((n,), 2.0, jnp.float32)
+    _, prim_b, _, _ = _run(table, o, d, tmin, tmax2, any_hit=True,
+                           interpret=True)
+    occ2_ref = np.asarray(intersect_p_brute(scene, o, d, tmax2))
+    assert ((np.asarray(prim_b) >= 0) == occ2_ref).all()
