@@ -227,7 +227,8 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
                 (scene["tri_light"][hit_prim] == light_idx)
             hg2 = geom.hit_geometric(scene, hit2)
             cos_at_light = dot(hg2["ng"], -wi_w)
-            lp = lt.area_light_pdf_dir(scene, light_idx, hit2["t"], cos_at_light)
+            lp = lt.area_light_pdf_dir(scene, light_idx, p, wi_w,
+                                        hit2["t"], cos_at_light)
             Le2 = lt.area_light_emitted(scene, hg2, -wi_w)
             light_pdf_dir = jnp.where(hit_is_chosen, lp, light_pdf_dir)
             Li2 = jnp.where(hit_is_chosen[..., None], Le2, Li2)

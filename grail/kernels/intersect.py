@@ -153,6 +153,13 @@ def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
     if tmin is None:
         tmin = jnp.zeros((n,), jnp.float32)
     table = scene["bvh"]["stream"]
+    # integrator stages mask inactive lanes with tmax=0 — make those lanes
+    # fully inert (no slab test can pass with tmin=+BIG) so they never drive
+    # sub-packet traversal; without this a dead lane whose origin is inside
+    # the scene bounds walks the whole tree with zero t-culling
+    dead = tmax <= tmin
+    tmin = jnp.where(dead, jnp.float32(3.0e37), tmin)
+    tmax = jnp.where(dead, jnp.float32(-3.0e37), tmax)
     if sort and n >= 2048:
         order = jnp.argsort(_ray_sort_key(scene, o, d))
         o_s, d_s = o[order], d[order]

@@ -6,10 +6,18 @@ env with 2D luminance·sinθ importance table), PROJECTION, GONIOMETRIC.
 pick a triangle from a per-light area CDF then a uniform barycentric point, with the
 area→solid-angle Jacobian exactly as Shape::Pdf (src/core/shape.cpp).
 
-MIS divergence note (documented): for the BSDF-sampling branch, the pdf of hitting
-an area light is computed from the actually-hit triangle (t²/(|cosθ|·totalArea))
-rather than summing over every triangle along the direction as ShapeSet::Pdf does;
-MIS stays unbiased for any weights that partition unity.
+Area-light MIS note (deliberate divergence from ShapeSet::Pdf, src/core/light.cpp):
+both MIS branches use the *per-point* solid-angle pdf r²/(|cosθ|·totalArea) — the
+light branch at its sampled point, the BSDF branch at its first-hit point. This is
+area-domain MIS: for every visible light point y both weights are computed from
+the same pair (pdf_light(y), pdf_bsdf(y)), so they partition unity pointwise and
+the estimator is unbiased for ARBITRARY (even self-overlapping) emitters —
+verified against dense quadrature for a two-quad stacked emitter in
+tests/test_lights.py. pbrt-v2 instead divides by the direction-summed
+ShapeSet::Pdf while keeping sampled-point radiance/visibility, which
+under-counts when an emitter's own triangles overlap along a direction; we keep
+the unbiased form. area_light_pdf_dir_sum implements the reference's
+direction-summed pdf for comparison/testing.
 """
 from __future__ import annotations
 
@@ -113,7 +121,9 @@ def _area_sample(scene, li, p, u1, u2, u3):
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
     wi = vec / dist[..., None]
     cos_l = dot(n_l, -wi)
-    # area pdf 1/totalArea → solid angle (pbrt Shape::Pdf conversion)
+    # per-point area pdf → solid angle (Shape::Pdf conversion); see module
+    # docstring for why this per-point form (not ShapeSet::Pdf's direction
+    # sum) is the one that stays unbiased for overlapping emitters
     pdf = dist2 / jnp.maximum(jnp.abs(cos_l) * lights["area"][li], 1e-12)
     return wi, n_l, cos_l, pdf, dist
 
@@ -235,13 +245,50 @@ def area_light_emitted(scene, sg, wo_world):
     return jnp.where(mask[..., None], emit, 0.0)
 
 
-def area_light_pdf_dir(scene, li, hit_t, cos_at_light):
-    """pdf (solid angle) that the area light would have sampled this direction —
-    uses the hit triangle's distance/cos and the light's TOTAL area (see module
-    docstring for the ShapeSet::Pdf divergence note)."""
+def area_light_pdf_dir(scene, li, p, wi, hit_t, cos_at_light):
+    """Per-point solid-angle pdf at the BSDF branch's first-hit light point:
+    r²/(|cosθ|·totalArea) — the same per-point function the light branch
+    divides by (area-domain MIS; see module docstring)."""
     lights = scene["lights"]
     return (hit_t * hit_t) / jnp.maximum(
         jnp.abs(cos_at_light) * lights["area"][li], 1e-12)
+
+
+AREA_PDF_EXACT_MAX = 16
+
+
+def area_light_pdf_dir_sum(scene, li, p, wi):
+    """The reference's ShapeSet::Pdf(p, wi) (src/core/light.cpp): Σ over the
+    light's triangles of area_i/total · Shape::Pdf_i(p, wi)
+    = Σ_hit dist_i²/(|cosθ_i|·totalArea). Implemented for parity/testing
+    (static unrolled masked Möller-Trumbore over the light's padded triangle
+    row, lights up to AREA_PDF_EXACT_MAX triangles); the render path uses the
+    per-point form above instead — see module docstring."""
+    lights = scene["lights"]
+    total = lights["area"][li]
+    at = lights["atri"].shape[1]
+    assert at <= AREA_PDF_EXACT_MAX, "direction-summed pdf for small sets only"
+    from ..kernels.intersect import moller_trumbore
+    pdf = jnp.zeros(li.shape, jnp.float32)
+    kvec = jnp.zeros_like(li)
+    for k in range(at):
+        tri = mc.gather_rows(lights["atri"], li, kvec + k)
+        # padding slots have a flat CDF segment (zero area mass)
+        valid = (mc.gather_rows(lights["acdf"], li, kvec + k + 1)
+                 > mc.gather_rows(lights["acdf"], li, kvec + k))
+        idx = scene["tri_idx"][tri]
+        v0 = scene["verts"][idx[..., 0]]
+        e1 = scene["verts"][idx[..., 1]] - v0
+        e2 = scene["verts"][idx[..., 2]] - v0
+        hit, t, _, _ = moller_trumbore(
+            p, wi, v0, e1, e2,
+            jnp.full(li.shape, 1e-3, jnp.float32),
+            jnp.full(li.shape, WORLD_BIG, jnp.float32))
+        cos_k = dot(normalize(cross(e1, e2)), -wi)
+        pdf = pdf + jnp.where(
+            hit & valid,
+            t * t / jnp.maximum(jnp.abs(cos_k) * total, 1e-12), 0.0)
+    return pdf
 
 
 def light_power(scene, static_meta=None):
