@@ -25,6 +25,27 @@ from ..engine.render import render_wave
 from ..engine.integrator import IntegratorConfig
 
 
+def maybe_init_distributed():
+    """jax.distributed.initialize() when launched as one process of a
+    multi-host job (SURVEY §5.8): explicit COORDINATOR_ADDRESS env (with
+    NUM_PROCESSES/PROCESS_ID), or GRAIL_DIST=1 for TPU-pod auto-detection.
+    Safe to call repeatedly; a no-op for single-process runs."""
+    import os
+    if getattr(maybe_init_distributed, "_done", False):
+        return False
+    maybe_init_distributed._done = True
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("PROCESS_ID", "0")))
+        return True
+    if os.environ.get("GRAIL_DIST") == "1":
+        jax.distributed.initialize()   # TPU pod auto-detection
+        return True
+    return False
+
+
 def make_mesh(n_devices=None, devices=None):
     if devices is None:
         devices = jax.devices()
@@ -38,7 +59,7 @@ def _pad_pixels(n_pixels, n_dev):
     return per * n_dev, per
 
 
-def render_wave_sharded(scene, meta, cfg, film, samp_idx, mesh):
+def render_wave_sharded(scene, meta, cfg, film, samp_idx, mesh, aux=None):
     """One wave with pixels sharded over mesh axis 'dev'; film psum-merged."""
     n_pix = meta.xres * meta.yres
     n_dev = mesh.devices.size
@@ -48,31 +69,99 @@ def render_wave_sharded(scene, meta, cfg, film, samp_idx, mesh):
     valid = pix < n_pix
     pix = jnp.where(valid, pix, 0)
 
-    def shard_fn(scene, film, pix_shard, valid_shard, samp):
+    def shard_fn(scene, film, pix_shard, valid_shard, samp, aux):
         f = jax.tree.map(jnp.zeros_like, film)
         f = render_wave(scene, meta, cfg, f, samp[0], pix=pix_shard,
-                        mask=valid_shard)
+                        mask=valid_shard, aux=aux)
         f = jax.lax.psum(f, "dev")
         return jax.tree.map(lambda a, b: a + b, film, f)
 
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P("dev"), P("dev"), P()),
-        out_specs=P(),
+        in_specs=(P(), P(), P("dev"), P("dev"), P(), P()),
+        out_specs=P(), check_vma=False,
     )
     samp = jnp.full((1,), samp_idx, jnp.uint32)
-    return fn(scene, film, pix, valid, samp)
+    return fn(scene, film, pix, valid, samp, aux)
 
 
-def render_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh, film=None):
+def _render_all_sharded(scene, meta, cfg, film, spp, mesh, aux=None):
+    """Whole sharded render in ONE dispatch: each device runs a fori_loop over
+    its pixel shard's spp waves into a device-local film, then ONE psum merges
+    (P2) — no per-wave launches, no per-wave collectives."""
+    n_pix = meta.xres * meta.yres
+    n_dev = mesh.devices.size
+    padded, _ = _pad_pixels(n_pix, n_dev)
+    pix = jnp.arange(padded, dtype=jnp.uint32)
+    valid = pix < n_pix
+    pix = jnp.where(valid, pix, 0)
+
+    def shard_fn(scene, film, pix_shard, valid_shard, aux):
+        def body(s, f):
+            return render_wave(scene, meta, cfg, f, jnp.uint32(s),
+                               pix=pix_shard, mask=valid_shard, aux=aux)
+        local = jax.lax.fori_loop(
+            0, spp, body, jax.tree.map(jnp.zeros_like, film))
+        local = jax.lax.psum(local, "dev")
+        return jax.tree.map(lambda a, b: a + b, film, local)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P("dev"), P("dev"), P()),
+        out_specs=P(), check_vma=False,
+    )
+    return fn(scene, film, pix, valid, aux)
+
+
+_render_all_sharded_jit = partial(jax.jit, static_argnums=(1, 2, 4, 5))(
+    _render_all_sharded)
+
+
+def render_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh, film=None,
+                   fused=True):
+    """Sharded render. fused=True: one dispatch for the whole render (the
+    production path); fused=False keeps the one-launch-per-wave loop (useful
+    for per-wave progress/checkpointing)."""
     if film is None:
         film = flm.new_film(meta.xres, meta.yres)
+    aux = _preprocess_aux(scene, meta, cfg)
+    if fused:
+        film = _render_all_sharded_jit(scene, meta, cfg, film, spp, mesh, aux)
+        return flm.develop(film), film
     step = jax.jit(
         partial(render_wave_sharded, mesh=mesh),
         static_argnums=(1, 2))
     for s in range(spp):
-        film = step(scene, meta, cfg, film, jnp.uint32(s))
+        film = step(scene, meta, cfg, film, jnp.uint32(s), aux=aux)
     return flm.develop(film), film
+
+
+def _preprocess_aux(scene, meta, cfg):
+    """Integrator preprocessing (photon shooting, VPLs, probes, dipole) —
+    runs replicated before the sharded dispatch (P3: the shoot itself is a
+    device-wide batch; its output pytree is replicated into every shard)."""
+    if cfg.kind == "photon":
+        from ..engine.photonmap import shoot_photons, PhotonConfig
+        pcfg = PhotonConfig(n_paths=cfg.photon_paths,
+                            radius=cfg.photon_radius,
+                            final_gather=cfg.photon_final_gather)
+        return jax.jit(shoot_photons, static_argnums=(1, 2))(scene, meta, pcfg)
+    if cfg.kind in ("diffuseprt", "glossyprt"):
+        from ..engine.prt import prt_preprocess
+        return jax.jit(prt_preprocess, static_argnums=(1, 2))(scene, meta, cfg)
+    if cfg.kind == "useprobes":
+        from ..engine.prt import read_probes, bake_probes
+        if cfg.probes_file:
+            return {"probes": read_probes(cfg.probes_file)}
+        return {"probes": bake_probes(scene, meta, cfg, *cfg.probes_res,
+                                      n_samples=cfg.prt_nsamples)}
+    if cfg.kind == "dipole":
+        from ..engine.subsurface import dipole_preprocess
+        return dipole_preprocess(scene, meta, cfg)
+    if cfg.kind == "irradiancecache":
+        from ..engine.irradiance import irradiance_preprocess
+        return irradiance_preprocess(scene, meta, cfg)
+    return None
 
 
 def make_train_step(meta, cfg, mesh, param_paths=("tex_data",)):
@@ -104,7 +193,7 @@ def make_train_step(meta, cfg, mesh, param_paths=("tex_data",)):
     smapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P("dev"), P("dev"), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P()), check_vma=False,
     )
 
     @jax.jit

@@ -94,6 +94,58 @@ def _bdim(bounce, off):
     return _BOUNCE_BASE + bounce * _BOUNCE_STRIDE + off
 
 
+# ---------------------------------------------------------------- alpha cutout
+# pbrt tests the alpha texture inside Triangle::Intersect (trianglemesh.cpp
+# ~L230). The wavefront equivalent: intersect, evaluate alpha at the hit's
+# interpolated uv, and re-trace the (few) lanes that landed on a zero-alpha
+# point with tmin pushed past the hit — up to ALPHA_MAX_REJECT rounds; lanes
+# without a cutout hit are inert in the re-trace.
+ALPHA_MAX_REJECT = 4
+
+
+def _alpha_at(scene, meta, hit, o, d):
+    """Alpha value at each hit (1.0 for misses / non-alpha triangles)."""
+    from ..shade.textures import eval_texture_rows
+    sg = geom.shading_geometry(scene, hit, o, d)
+    vals = eval_texture_rows(meta.tex_specs, scene["tex_data"], sg,
+                             set(meta.alpha_rows), scene.get("images", ()))
+    prim = jnp.maximum(hit["prim"], 0)
+    row = scene["tri_alpha"][prim]
+    a = jnp.ones(prim.shape, jnp.float32)
+    for r in meta.alpha_rows:
+        a = jnp.where(row == r, vals[r][:, 0], a)
+    return jnp.where((hit["prim"] >= 0) & (row >= 0), a, 1.0)
+
+
+def scene_intersect(scene, meta, o, d, tmax, tmin=None):
+    """Scene::Intersect with alpha-cutout re-tracing when the scene has
+    alpha-mapped triangles (meta.alpha_rows non-empty)."""
+    hit = isect.intersect(scene, o, d, tmax, tmin)
+    if not getattr(meta, "alpha_rows", ()):
+        return hit
+    for _ in range(ALPHA_MAX_REJECT):
+        a = _alpha_at(scene, meta, hit, o, d)
+        cut = (hit["prim"] >= 0) & (a <= 0.0)
+        t2min = jnp.where(cut, hit["t"] * (1.0 + 1e-4) + 1e-5, 3.0e37)
+        t2max = jnp.where(cut, tmax, -3.0e37)
+        hit2 = isect.intersect(scene, o, d, t2max, t2min)
+        hit = {k: jnp.where(cut, hit2[k], hit[k]) for k in hit}
+    # still on a cutout after the cap: call it a miss
+    a = _alpha_at(scene, meta, hit, o, d)
+    cut = (hit["prim"] >= 0) & (a <= 0.0)
+    return {"t": jnp.where(cut, isect.BIG_T, hit["t"]),
+            "prim": jnp.where(cut, -1, hit["prim"]),
+            "b1": hit["b1"], "b2": hit["b2"]}
+
+
+def scene_intersect_p(scene, meta, o, d, tmax, tmin=None):
+    """Scene::IntersectP honoring alpha cutouts (closest-hit loop when the
+    scene has them; plain any-hit otherwise)."""
+    if not getattr(meta, "alpha_rows", ()):
+        return isect.intersect_p(scene, o, d, tmax, tmin)
+    return scene_intersect(scene, meta, o, d, tmax, tmin)["prim"] >= 0
+
+
 def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None):
     """Common post-hit work: shading geometry, bump, textures, lobes, local wo.
 
@@ -182,15 +234,16 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
 
     # ---- light-sampling branch
     ls = lt.sample_li(scene, light_idx, p, u_light[0], u_light[1], u_tri,
-                      meta.light_types)
+                      meta.light_types, meta.light_image_rows)
     wi_l = geom.world_to_local(sg, ls["wi"])
-    f_l = bx.bsdf_f(lobes, wo_local, wi_l, present, include_specular=False)
+    f_l = bx.bsdf_f(lobes, wo_local, wi_l, present, include_specular=False,
+                    tables=scene.get("brdf_tables", ()))
     cos_l = absdot(ls["wi"], sg["ns"])
     contrib_possible = active & (ls["pdf"] > 0.0) & (cos_l > 0.0) \
         & jnp.any(ls["radiance"] > 0.0, axis=-1) & jnp.any(f_l > 0.0, axis=-1)
     # shadow ray (only meaningful where contrib possible; traced for all lanes)
-    occluded = isect.intersect_p(
-        scene, p + ls["wi"] * eps[..., None], ls["wi"],
+    occluded = scene_intersect_p(
+        scene, meta, p + ls["wi"] * eps[..., None], ls["wi"],
         jnp.where(contrib_possible, ls["dist"] - 2.0 * eps, 0.0))
     radiance = ls["radiance"]
     if scene.get("media") is not None:
@@ -210,12 +263,13 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
     sampleable = (lt.AREA in meta.light_types) or (lt.INFINITE in meta.light_types)
     if sampleable:
         bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp, present,
+                            tables=scene.get("brdf_tables", ()),
                             include_specular=False)
         wi_w = geom.local_to_world(sg, bs["wi"])
         cos_b = absdot(wi_w, sg["ns"])
         can = active & bs["valid"] & (bs["pdf"] > 0.0) \
             & ~lt.is_delta(scene["lights"]["type"][light_idx])
-        hit2 = isect.intersect(scene, p + wi_w * eps[..., None], wi_w,
+        hit2 = scene_intersect(scene, meta, p + wi_w * eps[..., None], wi_w,
                                jnp.where(can, BIG, 0.0) * jnp.ones_like(eps))
         light_pdf_dir = jnp.zeros_like(bs["pdf"])
         Li2 = jnp.zeros_like(Ld)
@@ -300,7 +354,8 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
     def bounce_body(bounce, state):
         o, d, L, throughput, active, spec_bounce = state
         eps = jnp.zeros((n,), jnp.float32)
-        hit = isect.intersect(scene, o, d, jnp.where(active, BIG, 0.0) * jnp.ones_like(eps))
+        hit = scene_intersect(scene, meta, o, d,
+                              jnp.where(active, BIG, 0.0) * jnp.ones_like(eps))
         miss = hit["prim"] < 0
 
         if has_media:
@@ -389,13 +444,15 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
                 u3 = rngmod.sample_1d(meta.sampler, pix, samp,
                                       _bdim(bounce, _D_LIGHT_TRI) + 100 * lrow)
                 ls = lt.sample_li(scene, lidx, sg["p"], u2d[0], u2d[1], u3,
-                                  meta.light_types)
+                                  meta.light_types, meta.light_image_rows)
                 wi_l = geom.world_to_local(sg, ls["wi"])
-                f_l = bx.bsdf_f(lobes, wo_local, wi_l, meta.lobe_types, False)
+                f_l = bx.bsdf_f(lobes, wo_local, wi_l, meta.lobe_types, False,
+                                tables=scene.get("brdf_tables", ()))
                 cos_l = absdot(ls["wi"], sg["ns"])
                 ok = active & (ls["pdf"] > 0.0) & (cos_l > 0.0)
-                occl = isect.intersect_p(
-                    scene, sg["p"] + ls["wi"] * sg["ray_eps"][..., None], ls["wi"],
+                occl = scene_intersect_p(
+                    scene, meta,
+                    sg["p"] + ls["wi"] * sg["ray_eps"][..., None], ls["wi"],
                     jnp.where(ok, ls["dist"] - 2.0 * sg["ray_eps"], 0.0))
                 Ld += jnp.where((ok & ~occl)[..., None],
                                 f_l * ls["radiance"]
@@ -408,7 +465,8 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
         u_dir = rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_DIR))
         u_comp = rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_COMP))
         bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp,
-                            meta.lobe_types, include_specular=True)
+                            meta.lobe_types, include_specular=True,
+                            tables=scene.get("brdf_tables", ()))
         wi_w = geom.local_to_world(sg, bs["wi"])
         cos_c = absdot(wi_w, sg["ns"])
         contrib = bs["f"] * (cos_c / _detach(jnp.maximum(bs["pdf"], 1e-12)))[..., None]
@@ -443,7 +501,8 @@ def _ao_li(scene, meta, cfg, rays, pix, samp):
     """ambientocclusion.cpp: fraction of cosine-sampled rays unoccluded."""
     o, d = rays["o"], rays["d"]
     n = o.shape[0]
-    hit = isect.intersect(scene, o, d, BIG * jnp.ones((n,), jnp.float32))
+    hit = scene_intersect(scene, meta, o, d,
+                          BIG * jnp.ones((n,), jnp.float32))
     sg = geom.shading_geometry(scene, hit, o, d)
     active = hit["prim"] >= 0
     total = jnp.zeros((n,), jnp.float32)
@@ -452,8 +511,9 @@ def _ao_li(scene, meta, cfg, rays, pix, samp):
         wl = mc.cosine_sample_hemisphere(u[0], u[1])
         w = geom.local_to_world(sg, wl)
         w = jnp.where(dot(w, sg["ng"])[..., None] < 0.0, -w, w)
-        occ = isect.intersect_p(scene, sg["p"] + w * sg["ray_eps"][..., None], w,
-                                jnp.full((n,), cfg.ao_maxdist, jnp.float32))
+        occ = scene_intersect_p(
+            scene, meta, sg["p"] + w * sg["ray_eps"][..., None], w,
+            jnp.full((n,), cfg.ao_maxdist, jnp.float32))
         total += jnp.where(active & ~occ, 1.0, 0.0)
     ao = total / cfg.ao_samples
     return ao[..., None] * jnp.ones((n, 3)) * rays["weight"][..., None]

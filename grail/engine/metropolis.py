@@ -100,7 +100,7 @@ def eval_path(scene, meta, cfg: MLTConfig, u):
                                n_lights - 1)
             ls = lt.sample_li(scene, lidx, sg["p"], _col(u, base + 1),
                               _col(u, base + 2), _col(u, base + 3),
-                              meta.light_types)
+                              meta.light_types, meta.light_image_rows)
             wi_l = geom.world_to_local(sg, ls["wi"])
             f_l = bx.bsdf_f(lobes, wo_l, wi_l, present, False)
             cos_l = absdot(ls["wi"], sg["ns"])

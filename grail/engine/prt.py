@@ -46,7 +46,8 @@ def project_incident_direct(scene, meta, p, eps, lmax, n_samples, pix, samp,
             d0 = dim_base + (lrow * n_samples + s) * 3
             u1, u2 = rngmod.sample_2d(meta.sampler, pix, samp, d0)
             u3 = rngmod.sample_1d(meta.sampler, pix, samp, d0 + 2)
-            ls = lt.sample_li(scene, lidx, p, u1, u2, u3, meta.light_types)
+            ls = lt.sample_li(scene, lidx, p, u1, u2, u3, meta.light_types,
+                              meta.light_image_rows)
             ok = (ls["pdf"] > 0.0) & jnp.any(ls["radiance"] > 0.0, axis=-1)
             if with_visibility:
                 occ = isect.intersect_p(

@@ -149,6 +149,32 @@ def _render_fused_jit(scene, meta, cfg, film, spp, spp_chunk, start_wave,
     return film
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _crop_wave_jit(scene, meta, cfg, film, pix, samp_idx, aux=None):
+    return render_wave(scene, meta, cfg, film, samp_idx, pix=pix, aux=aux)
+
+
+def _render_cropped(scene, meta, cfg, film, spp, start_wave, aux, progress):
+    """Film crop window (image.cpp ctor: xPixelStart = ceil(xres*crop0) etc):
+    render only the crop's pixel subset; the film stays full-resolution with
+    zeros outside the window. Crop regions are small, so per-wave scatter
+    accumulation (add_samples) is fine here."""
+    import math as _m
+    import numpy as np
+    x0c, x1c, y0c, y1c = meta.crop
+    x0 = int(_m.ceil(meta.xres * x0c))
+    x1 = max(x0 + 1, int(_m.ceil(meta.xres * x1c)))
+    y0 = int(_m.ceil(meta.yres * y0c))
+    y1 = max(y0 + 1, int(_m.ceil(meta.yres * y1c)))
+    xs, ys = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+    pix = jnp.asarray((ys * meta.xres + xs).ravel().astype(np.uint32))
+    for s in range(start_wave, spp):
+        film = _crop_wave_jit(scene, meta, cfg, film, pix, jnp.uint32(s), aux)
+        if progress is not None:
+            progress(s + 1, spp)
+    return flm.develop(film), film
+
+
 def auto_spp_chunk(meta, spp, target_rays=1 << 20):
     """Samples per megawave. TPU kernel dispatch has a fixed cost that dwarfs
     the per-ray work at small N (measured: 65k rays ≈ 3.3ms, 4M rays ≈ 6ms for
@@ -201,6 +227,11 @@ def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0
     elif cfg.kind == "irradiancecache":
         from .irradiance import irradiance_preprocess
         aux = irradiance_preprocess(scene, meta, cfg)
+    crop = tuple(getattr(meta, "crop", (0.0, 1.0, 0.0, 1.0)))
+    if crop != (0.0, 1.0, 0.0, 1.0):
+        img, film = _render_cropped(scene, meta, cfg, film, spp, start_wave,
+                                    aux, progress)
+        return img, film
     if spp_chunk is None:
         spp_chunk = auto_spp_chunk(meta, spp)
     import time as _time

@@ -103,7 +103,8 @@ def _irradiance_at_points(scene, meta, p, n, n_samples=4):
             d0 = _DIM + (lrow * n_samples + s) * 3
             u1, u2 = rngmod.sample_2d(meta.sampler, pix, samp, d0)
             u3 = rngmod.sample_1d(meta.sampler, pix, samp, d0 + 2)
-            ls = lt.sample_li(scene, lidx, p, u1, u2, u3, meta.light_types)
+            ls = lt.sample_li(scene, lidx, p, u1, u2, u3, meta.light_types,
+                              meta.light_image_rows)
             cosw = dot(ls["wi"], n)
             ok = (ls["pdf"] > 0.0) & (cosw > 0.0)
             occ = isect.intersect_p(scene, p + ls["wi"] * eps[..., None],

@@ -538,8 +538,23 @@ class PbrtAPI:
             kd = tp.get_spectrum_texture(b, "Kd", (0.5, 0.5, 0.5))
             return add_mat([lobe(type=bx.LAMBERT, s0=kd)])
         if mtype == "measured":
-            log.warning("Measured BRDF data files not loaded on device yet; "
-                        "substituting matte (SURVEY backlog)")
+            fname = tp.geom.find_one_string(
+                "filename", tp.mat.find_one_string("filename", ""))
+            if fname:
+                from ..shade import measured as msr
+                try:
+                    path = self._resolve(fname)
+                    if path.endswith(".binary"):
+                        table = msr.read_merl(path)
+                    else:
+                        angles, rgb = msr.read_brdf(path)
+                        table = msr.bake_irregular(angles, rgb)
+                    return b.add_measured_material(table)
+                except Exception as e:
+                    log.warning("measured material %r: %s; matte fallback",
+                                fname, e)
+            else:
+                log.warning('measured material without "filename"; matte')
             kd = tp.get_spectrum_texture(b, "Kd", (0.5, 0.5, 0.5))
             return add_mat([lobe(type=bx.LAMBERT, s0=kd)])
         log.warning("Unknown material %r; using matte", mtype)
@@ -589,13 +604,30 @@ class PbrtAPI:
                 except Exception as e:
                     log.warning("infinite light map %r: %s", mapname, e)
             b.add_infinite_light(l2w, L, env)
-        elif name in ("projection", "goniometric"):
-            log.warning("Light %r approximated as point light this round", name)
+        elif name == "projection":
             i = params.find_one_rgb("I", (1, 1, 1)) * scale
-            b.add_point_light(l2w[:3, 3], i)
+            fov = params.find_one_float("fov", 45.0)
+            img_id = self._light_image(params)
+            b.add_projection_light(l2w, i, fov=fov, image_id=img_id)
+        elif name == "goniometric":
+            i = params.find_one_rgb("I", (1, 1, 1)) * scale
+            img_id = self._light_image(params)
+            b.add_goniometric_light(l2w, i, image_id=img_id)
         else:
             log.warning("Unknown light %r ignored", name)
         params.report_unused(f'LightSource "{name}"')
+
+    def _light_image(self, params):
+        """Load a light's "mapname" image into the builder; -1 when absent."""
+        mapname = params.find_one_string("mapname", "")
+        if not mapname:
+            return -1
+        from ..engine.imageio import read_image
+        try:
+            return self.builder.add_image(read_image(self._resolve(mapname)))
+        except Exception as e:
+            log.warning("light map %r: %s", mapname, e)
+            return -1
 
     def area_light_source(self, name, params):
         self.gs.area_light = (name, params)
@@ -638,10 +670,24 @@ class PbrtAPI:
         mat_id = (self._current_material_id(shape_params or ParamSet())
                   if gs is self.gs else
                   self._material_id_for_state(gs, shape_params))
+        # alpha-cutout texture ("texture alpha" / "float alpha", pbrt
+        # trianglemesh.cpp Triangle::Intersect alpha test ~L230)
+        alpha_tex = -1
+        sp = shape_params or ParamSet()
+        ref = sp.find_texture("alpha")
+        if ref is not None:
+            alpha_tex = gs.float_textures.get(ref, -1)
+            if alpha_tex < 0:
+                log.warning('alpha texture "%s" not found', ref)
+        else:
+            a = sp.find_one_float("alpha", 1.0)
+            if a != 1.0:
+                alpha_tex = b.const_tex((a, a, a))
         b.add_mesh(verts, idx, mat_id, normals=normals, uvs=uvs,
                    reverse_orientation=gs.reverse_orientation,
                    swaps_handedness=bool(tr.swaps_handedness(m)),
-                   area_light_emit=emit, n_samples=nsamp)
+                   area_light_emit=emit, n_samples=nsamp,
+                   alpha_tex=alpha_tex)
 
     def _material_id_for_state(self, gs, shape_params):
         saved = self.gs
@@ -665,9 +711,6 @@ class PbrtAPI:
                 uv = params.find_floats("st")
             uvs = (np.asarray(uv, np.float32).reshape(-1, 2)
                    if uv is not None else None)
-            alpha = params.find_one_float("alpha", 1.0)
-            if alpha != 1.0:
-                log.warning("trianglemesh alpha texture not yet wired")
             return (np.asarray(P, np.float32),
                     np.asarray(idx, np.int64).reshape(-1, 3),
                     np.asarray(N, np.float32) if N is not None else None,
@@ -812,6 +855,14 @@ class PbrtAPI:
         # film/filter
         b.xres = self.film_params.find_one_int("xresolution", 640)
         b.yres = self.film_params.find_one_int("yresolution", 480)
+        cw = self.film_params.find_floats("cropwindow")
+        if cw is not None and len(cw) == 4:
+            # image.cpp ctor clamps and orders the crop window
+            x0, x1 = sorted((max(0.0, min(1.0, cw[0])),
+                             max(0.0, min(1.0, cw[1]))))
+            y0, y1 = sorted((max(0.0, min(1.0, cw[2])),
+                             max(0.0, min(1.0, cw[3]))))
+            b.crop = (x0, x1, y0, y1)
         self.out_filename = self.film_params.find_one_string(
             "filename", "out.exr")
         fname_map = {"box": "box", "triangle": "triangle",

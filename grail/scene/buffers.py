@@ -44,6 +44,9 @@ class SceneMeta:
     media_kinds: Tuple[int, ...] = ()
     has_bump: bool = False
     bump_rows: Tuple[int, ...] = ()
+    light_image_rows: Tuple[Tuple[int, int], ...] = ()   # (light_row, image_id)
+    alpha_rows: Tuple[int, ...] = ()    # alpha-cutout texture rows in use
+    crop: Tuple[float, float, float, float] = (0.0, 1.0, 0.0, 1.0)
 
 
 class SceneBuilder:
@@ -55,6 +58,7 @@ class SceneBuilder:
         self.tri_mat = []
         self.tri_light = []
         self.tri_flags = []
+        self.tri_alpha = []
         self.n_verts = 0
         self.tex_specs = []
         self.tex_const = []
@@ -65,10 +69,12 @@ class SceneBuilder:
         self.lights = []         # list of dicts
         self.camera = None
         self.sampler = SamplerConfig()
+        self.crop = (0.0, 1.0, 0.0, 1.0)   # film crop window [x0,x1,y0,y1]
         self.filter = FilterConfig()
         self.xres = 256
         self.yres = 256
         self.env_map = None      # (H,W,3) np array or None
+        self.brdf_tables = []    # measured half-angle BRDF tables (np arrays)
         self.env_row = -1
         self.use_bvh = None      # None = auto (n_tris > 64), True/False forced
         self.media_regions = []  # list of dicts (add_volume)
@@ -102,6 +108,19 @@ class SceneBuilder:
         self.mat_bump.append(-1 if bump is None else int(bump))
         return len(self.mat_rows) - 1
 
+    def add_measured_material(self, table):
+        """Measured BRDF material (measured.cpp): half-angle table lookup
+        lobe, cosine-sampled; table from shade/measured.py loaders."""
+        from ..shade import bsdf as bx
+        from ..shade.measured import albedo_estimate
+        gi = len(self.brdf_tables)
+        self.brdf_tables.append(np.asarray(table, np.float32))
+        one = self.const_tex((1.0, 1.0, 1.0))
+        alb = self.const_tex(tuple(np.clip(albedo_estimate(table), 0.0, 1.0)))
+        gid = self.add_texture(TexSpec(kind="const"), (float(gi),) * 3)
+        return self.add_material([
+            {"type": bx.MEASURED, "s0": one, "s1": alb, "f1": gid}])
+
     def matte(self, kd_tex=None, kd=(0.5, 0.5, 0.5), sigma_tex=None):
         """pbrt matte.cpp: Lambertian or OrenNayar."""
         if kd_tex is None:
@@ -115,7 +134,7 @@ class SceneBuilder:
     # -------------------------------------------------------------------- geometry
     def add_mesh(self, verts, idx, material, normals=None, uvs=None,
                  reverse_orientation=False, swaps_handedness=False,
-                 area_light_emit=None, n_samples=1):
+                 area_light_emit=None, n_samples=1, alpha_tex=-1):
         """Append a world-space triangle mesh (pbrtShape trianglemesh analog).
 
         If area_light_emit is given, every triangle becomes part of one
@@ -164,6 +183,7 @@ class SceneBuilder:
         self.tri_mat.append(np.full(ntri, material, np.int64))
         self.tri_light.append(np.full(ntri, light_id, np.int64))
         self.tri_flags.append(np.full(ntri, flags, np.int64))
+        self.tri_alpha.append(np.full(ntri, alpha_tex, np.int64))
         return light_id
 
     # ---------------------------------------------------------------------- lights
@@ -177,6 +197,29 @@ class SceneBuilder:
             "type": lt.SPOT, "emit": np.asarray(intensity, np.float32), "l2w": l2w,
             "cos_total": np.cos(np.radians(cone_angle)),
             "cos_falloff": np.cos(np.radians(cone_angle - cone_delta))})
+
+    def add_projection_light(self, l2w, intensity, fov=45.0, image_id=-1):
+        """pbrt projection.cpp: intensity projected through a perspective
+        frustum along the light's +z; image_id indexes builder images."""
+        aspect = 1.0
+        if image_id >= 0:
+            im = self.images[image_id]
+            aspect = im.shape[1] / im.shape[0]
+        if aspect > 1.0:
+            screen = (-aspect, aspect, -1.0, 1.0)
+        else:
+            screen = (-1.0, 1.0, -1.0 / aspect, 1.0 / aspect)
+        self.lights.append({
+            "type": lt.PROJECTION, "emit": np.asarray(intensity, np.float32),
+            "l2w": l2w, "proj": tr.perspective(fov, 1e-3, 1e30),
+            "proj_hither": 1e-3, "screen": np.asarray(screen, np.float32),
+            "image_id": int(image_id)})
+
+    def add_goniometric_light(self, l2w, intensity, image_id=-1):
+        """pbrt goniometric.cpp: point intensity modulated by a lat-long map."""
+        self.lights.append({
+            "type": lt.GONIOMETRIC, "emit": np.asarray(intensity, np.float32),
+            "l2w": l2w, "image_id": int(image_id)})
 
     def add_distant_light(self, from_p, to_p, radiance):
         d = np.asarray(to_p, np.float64) - np.asarray(from_p, np.float64)
@@ -229,6 +272,8 @@ class SceneBuilder:
             "tri_mat": jnp.asarray(np.concatenate(self.tri_mat).astype(np.int32)),
             "tri_light": jnp.asarray(np.concatenate(self.tri_light).astype(np.int32)),
             "tri_flags": jnp.asarray(np.concatenate(self.tri_flags).astype(np.int32)),
+            "tri_alpha": jnp.asarray(
+                np.concatenate(self.tri_alpha).astype(np.int32)),
         }
 
         # world bound/radius (Scene::WorldBound)
@@ -290,7 +335,12 @@ class SceneBuilder:
             "atri": np.zeros((L, at_max), np.int32),
             "acdf": np.tile(np.linspace(0, 1, at_max + 1, dtype=np.float32), (L, 1)),
             "n_samples": np.ones(L, np.int32),
+            "proj": np.tile(tr.identity(), (L, 1, 1)),
+            "proj_hither": np.full(L, 1e-3, np.float32),
+            "screen": np.tile(np.asarray([-1, 1, -1, 1], np.float32), (L, 1)),
+            "image_row": np.full(L, -1, np.int32),
         }
+        light_image_rows = {}
         for i, l in enumerate(self.lights):
             larr["type"][i] = l["type"]
             larr["emit"][i] = l["emit"]
@@ -309,10 +359,18 @@ class SceneBuilder:
                 larr["acdf"][i, :len(cdf)] = cdf.astype(np.float32)
                 larr["acdf"][i, len(cdf):] = 1.0
             larr["n_samples"][i] = l.get("n_samples", 1)
+            if "proj" in l:
+                larr["proj"][i] = np.asarray(l["proj"], np.float32)
+                larr["proj_hither"][i] = l["proj_hither"]
+                larr["screen"][i] = l["screen"]
+            if l.get("image_id", -1) >= 0:
+                larr["image_row"][i] = i
+                light_image_rows[i] = l["image_id"]
         scene["lights"] = {k: jnp.asarray(v) for k, v in larr.items()}
         scene["env_row"] = jnp.int32(max(self.env_row, 0))
         scene["env_map"] = (jnp.asarray(self.env_map)
                             if self.env_map is not None else None)
+        scene["brdf_tables"] = tuple(jnp.asarray(t) for t in self.brdf_tables)
 
         # env importance map: luminance · sinθ (infinite.cpp ctor)
         if self.env_row >= 0:
@@ -399,5 +457,9 @@ class SceneBuilder:
             media_kinds=tuple(int(m["type"]) for m in self.media_regions),
             has_bump=any(bt >= 0 for bt in self.mat_bump),
             bump_rows=tuple(sorted({bt for bt in self.mat_bump if bt >= 0})),
+            light_image_rows=tuple(sorted(light_image_rows.items())),
+            alpha_rows=tuple(sorted({int(a) for arr in self.tri_alpha
+                                     for a in np.unique(arr) if a >= 0})),
+            crop=tuple(float(c) for c in self.crop),
         )
         return scene, meta

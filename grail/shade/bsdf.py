@@ -35,6 +35,7 @@ SPEC_TRANS = 6
 FRESNEL_BLEND = 7
 LAMBERT_T = 8
 BLINN_T = 9
+MEASURED = 10     # half-angle table lookup (measured.py); cosine-sampled
 
 # fresnel type tags
 FR_NOOP = 0
@@ -171,13 +172,15 @@ def torrance_sparrow_g(wo, wi, wh):
 
 
 # --------------------------------------------------------------------- lobe eval: f
-def lobe_f(lobe_type, wo, wi, R, S1, S2, f0, f1, f2, fr_type, present=None):
+def lobe_f(lobe_type, wo, wi, R, S1, S2, f0, f1, f2, fr_type, present=None,
+           tables=()):
     """Evaluate one lobe slot's BRDF value for all shade points (masked by type).
 
     Args (batched over shade points):
       lobe_type (N,) int; wo, wi (N,3) local frame; R (N,3) main spectrum (e.g. Kd/Ks);
       S1, S2 (N,3) aux spectra (Rs / conductor eta / k); f0,f1,f2 (N,) scalars
       (roughness-exponent / 2nd exponent / ior); fr_type (N,) fresnel tag.
+      tables: static tuple of measured half-angle BRDF tables (f1 = table id).
     Delta lobes return 0 here (handled in sampling only), as in pbrt.
     """
     if present is None:
@@ -196,6 +199,17 @@ def lobe_f(lobe_type, wo, wi, R, S1, S2, f0, f1, f2, fr_type, present=None):
     # Lambertian: R/pi (reflection side)
     if LAMBERT in present:
         result += where_type(LAMBERT, R * INV_PI, reflect)
+    # Measured half-angle table (reflection.cpp RegularHalfangle/IrregIso)
+    if MEASURED in present:
+        if tables:
+            from .measured import lookup as _measured_lookup
+            mv = R * _measured_lookup(tables, f1.astype(jnp.int32), wo,
+                                      jnp.where(reflect[..., None], wi, -wi))
+        else:
+            # caller without table plumbing: matte fallback with the baked
+            # albedo estimate riding in S1
+            mv = S1 * INV_PI
+        result += where_type(MEASURED, mv, reflect)
     if LAMBERT_T in present:
         result += where_type(LAMBERT_T, R * INV_PI, ~reflect)
 
@@ -274,6 +288,8 @@ def lobe_pdf(lobe_type, wo, wi, f0, f1, present=None):
     cos_pdf = aci * INV_PI
     if LAMBERT in present:
         pdf += where_type(LAMBERT, cos_pdf, reflect)
+    if MEASURED in present:
+        pdf += where_type(MEASURED, cos_pdf, reflect)
     if OREN_NAYAR in present:
         pdf += where_type(OREN_NAYAR, cos_pdf, reflect)
     if LAMBERT_T in present:
@@ -324,7 +340,8 @@ def lobe_sample_wi(lobe_type, wo, u1, u2, f0, f1, f2, present=None):
         valid = jnp.where(m, ok, valid)
 
     # cosine hemisphere (diffuse lobes), flipped into wo's hemisphere
-    if (LAMBERT in present) or (OREN_NAYAR in present) or (LAMBERT_T in present) or (FRESNEL_BLEND in present):
+    if (LAMBERT in present) or (OREN_NAYAR in present) or (LAMBERT_T in present) \
+            or (FRESNEL_BLEND in present) or (MEASURED in present):
         wi_cos = mc.cosine_sample_hemisphere(u1, u2)
         wi_cos_refl = wi_cos * jnp.stack(
             [jnp.ones_like(entering_sign), jnp.ones_like(entering_sign), entering_sign], axis=-1)
@@ -332,6 +349,8 @@ def lobe_sample_wi(lobe_type, wo, u1, u2, f0, f1, f2, present=None):
             put(LAMBERT, wi_cos_refl, jnp.ones_like(valid))
         if OREN_NAYAR in present:
             put(OREN_NAYAR, wi_cos_refl, jnp.ones_like(valid))
+        if MEASURED in present:
+            put(MEASURED, wi_cos_refl, jnp.ones_like(valid))
         if LAMBERT_T in present:
             put(LAMBERT_T, -wi_cos_refl, jnp.ones_like(valid))
 
@@ -425,14 +444,15 @@ def bsdf_num_components(lobes, include_specular=True):
     return jnp.sum(_matching_mask(lobes, include_specular).astype(jnp.int32), axis=-1)
 
 
-def bsdf_f(lobes, wo, wi, present, include_specular=True):
+def bsdf_f(lobes, wo, wi, present, include_specular=True, tables=()):
     """Σ over lobe slots of lobe_f — pbrt BSDF::f (sidedness handled per lobe)."""
     K = lobes["type"].shape[1]
     total = jnp.zeros(wo.shape, jnp.float32)
     for k in range(K):
         s = _slot(lobes, k)
         total += lobe_f(s["type"], wo, wi, s["R"], s["S1"], s["S2"],
-                        s["f0"], s["f1"], s["f2"], s["fr"], present)
+                        s["f0"], s["f1"], s["f2"], s["fr"], present,
+                        tables=tables)
     return total
 
 
@@ -449,7 +469,8 @@ def bsdf_pdf(lobes, wo, wi, present, include_specular=False):
     return jnp.where(n > 0, total / jnp.maximum(n, 1.0), 0.0)
 
 
-def bsdf_sample(lobes, wo, u1, u2, u_comp, present, include_specular=True):
+def bsdf_sample(lobes, wo, u1, u2, u_comp, present, include_specular=True,
+                tables=()):
     """pbrt BSDF::Sample_f over the lobe stack.
 
     Returns dict: wi (N,3), f (N,3), pdf (N,), specular (N,) bool, valid (N,) bool.
@@ -482,7 +503,7 @@ def bsdf_sample(lobes, wo, u1, u2, u_comp, present, include_specular=True):
     valid = valid & (n_match > 0)
 
     # non-specular: f = Σ lobe_f, pdf = average over matching (incl. chosen)
-    f_all = bsdf_f(lobes, wo, wi, present, include_specular)
+    f_all = bsdf_f(lobes, wo, wi, present, include_specular, tables=tables)
     pdf_all = bsdf_pdf(lobes, wo, wi, present, include_specular)
 
     # specular: delta value from the chosen lobe; pdf = 1/n_match

@@ -128,13 +128,16 @@ def _area_sample(scene, li, p, u1, u2, u3):
     return wi, n_l, cos_l, pdf, dist
 
 
-def sample_li(scene, li, p, u1, u2, u3, present_types):
+def sample_li(scene, li, p, u1, u2, u3, present_types, light_image_rows=()):
     """Light::Sample_L(p) masked over light types.
 
     li (N,) light row per shade point; u1,u2 2D sample; u3 extra (area tri pick).
+    light_image_rows: static ((light_row, image_id), ...) from
+    SceneMeta.light_image_rows — the projection/goniometric light maps.
     Returns dict: wi (N,3), radiance (N,3), pdf (N,), dist (N,) (shadow ray length;
     WORLD_BIG for infinite/distant), delta (N,) bool.
     """
+    image_rows = dict(light_image_rows)
     lights = scene["lights"]
     lt = lights["type"][li]
     n = p.shape[0]
@@ -168,12 +171,12 @@ def sample_li(scene, li, p, u1, u2, u3, present_types):
             fall = _spot_falloff(lights, li, -wi_p)
             put(lt == SPOT, wi_p, base * fall[..., None], jnp.ones_like(pdf), dd)
         if PROJECTION in present_types:
-            proj = _projection_factor(lights, li, -wi_p, scene.get("images", ()),
-                                      scene.get("_light_image_rows", {}))
+            proj = _projection_factor(lights, li, -wi_p,
+                                      scene.get("images", ()), image_rows)
             put(lt == PROJECTION, wi_p, base * proj, jnp.ones_like(pdf), dd)
         if GONIOMETRIC in present_types:
-            gon = _gonio_factor(lights, li, -wi_p, scene.get("images", ()),
-                                scene.get("_light_image_rows", {}))
+            gon = _gonio_factor(lights, li, -wi_p,
+                                scene.get("images", ()), image_rows)
             put(lt == GONIOMETRIC, wi_p, base * gon, jnp.ones_like(pdf), dd)
 
     if DISTANT in present_types:

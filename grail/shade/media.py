@@ -147,6 +147,35 @@ def phase_hg_eval(g, cos_theta):
     return mc.hg_pdf(cos_theta, g)
 
 
+# Phase function library — pbrt src/core/volume.cpp PhaseIsotropic/Rayleigh/
+# MieHazy/MieMurky/Schlick. Volume regions use HG (as HomogeneousVolumeDensity
+# does); these are the reference's free functions, normalized over the sphere.
+INV_4PI = 1.0 / (4.0 * 3.14159265358979)
+
+
+def phase_isotropic(cos_theta):
+    return jnp.full(jnp.shape(cos_theta), INV_4PI, jnp.float32)
+
+
+def phase_rayleigh(cos_theta):
+    return 3.0 / (16.0 * jnp.pi) * (1.0 + cos_theta * cos_theta)
+
+
+def phase_mie_hazy(cos_theta):
+    return (0.5 + 4.5 * jnp.power(0.5 * (1.0 + cos_theta), 8.0)) * INV_4PI
+
+
+def phase_mie_murky(cos_theta):
+    return (0.5 + 16.5 * jnp.power(0.5 * (1.0 + cos_theta), 32.0)) * INV_4PI
+
+
+def phase_schlick(g, cos_theta):
+    """Schlick's HG approximation with pbrt's g -> k polynomial remap."""
+    k = 1.55 * g - 0.55 * g * g * g
+    kc = k * cos_theta
+    return INV_4PI * (1.0 - k * k) / ((1.0 - kc) * (1.0 - kc))
+
+
 def emission_li(scene, meta, o, d, tmax, pix, samp, dim_base):
     """EmissionIntegrator::Li: ∫ T·σa·Lve. Closed form per homogeneous region."""
     from ..core import rng as rngmod
@@ -233,7 +262,7 @@ def single_scatter_li(scene, meta, o, d, tmax, pix, samp, dim_base, cfg=None):
                 lidx = jnp.minimum((ul * n_lights).astype(jnp.int32),
                                    n_lights - 1)
                 ls = lt.sample_li(scene, lidx, p, u2a, u2b, ul,
-                                  meta.light_types)
+                                  meta.light_types, meta.light_image_rows)
                 occluded = isect.intersect_p(
                     scene, p + ls["wi"] * 1e-4, ls["wi"],
                     jnp.where(hit, ls["dist"] * (1 - 1e-3), 0.0))

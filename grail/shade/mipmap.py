@@ -55,9 +55,13 @@ def build_pyramid(img):
     levels = [img.astype(np.float32)]
     while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
         cur = levels[-1]
-        nh, nw = max(1, cur.shape[0] // 2), max(1, cur.shape[1] // 2)
-        cur = cur[: nh * 2, : nw * 2]
-        levels.append(cur.reshape(nh, 2, nw, 2, -1).mean((1, 3)))
+        h, w = cur.shape[:2]
+        # a dimension that already reached 1 stays 1 (non-square pyramids
+        # end 1xN / Nx1 before 1x1, like MIPMap's pow2 levels)
+        fh, fw = (2 if h > 1 else 1), (2 if w > 1 else 1)
+        nh, nw = h // fh, w // fw
+        cur = cur[: nh * fh, : nw * fw]
+        levels.append(cur.reshape(nh, fh, nw, fw, -1).mean((1, 3)))
     return levels
 
 

@@ -160,3 +160,82 @@ def test_glass_stack_two_lobes():
     F = float(bx.fr_dielectric(jnp.abs(WO[2]), 1.0, 1.5))
     expected = F + (1.0 - F) * (1.0 / 1.5) ** 2
     np.testing.assert_allclose(total, expected, atol=0.05)
+
+
+def test_measured_brdf_merl_roundtrip(tmp_path):
+    """MERL .binary loader + half-angle nearest lookup: a constant-valued file
+    must evaluate to that constant (after the ctor channel scales), and a
+    measured lobe must behave like a cosine-sampled BRDF (sample<->pdf)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from grail.shade import measured as msr
+    from grail.shade import bsdf as bx
+
+    n = msr.MERL_N_THETA_H * msr.MERL_N_THETA_D * msr.MERL_N_PHI_D
+    path = tmp_path / "const.binary"
+    with open(path, "wb") as f:
+        np.asarray([msr.MERL_N_THETA_H, msr.MERL_N_THETA_D,
+                    msr.MERL_N_PHI_D], np.int32).tofile(f)
+        np.full(3 * n, 450.0, np.float64).tofile(f)
+    tab = msr.read_merl(str(path))
+    assert tab.shape == (90, 90, 180, 3)
+    np.testing.assert_allclose(tab[..., 0], 450.0 / 1500.0, rtol=1e-6)
+    np.testing.assert_allclose(tab[..., 1], 450.0 * 1.15 / 1500.0, rtol=1e-6)
+
+    rng = np.random.default_rng(0)
+    wo = rng.normal(size=(64, 3)); wo[:, 2] = np.abs(wo[:, 2]) + 0.05
+    wi = rng.normal(size=(64, 3)); wi[:, 2] = np.abs(wi[:, 2]) + 0.05
+    wo = jnp.asarray((wo / np.linalg.norm(wo, axis=1, keepdims=True))
+                     .astype(np.float32))
+    wi = jnp.asarray((wi / np.linalg.norm(wi, axis=1, keepdims=True))
+                     .astype(np.float32))
+    v = np.asarray(msr.lookup((jnp.asarray(tab),),
+                              jnp.zeros(64, jnp.int32), wo, wi))
+    np.testing.assert_allclose(v[:, 0], 0.3, rtol=1e-5)
+
+    # through the lobe machinery: f == R * table value; pdf = cos/pi
+    lobes = {
+        "type": jnp.full((64, 1), bx.MEASURED, jnp.int32),
+        "R": jnp.ones((64, 1, 3), jnp.float32),
+        "S1": jnp.full((64, 1, 3), 0.5, jnp.float32),
+        "S2": jnp.zeros((64, 1, 3), jnp.float32),
+        "f0": jnp.zeros((64, 1), jnp.float32),
+        "f1": jnp.zeros((64, 1), jnp.float32),
+        "f2": jnp.zeros((64, 1), jnp.float32),
+        "fr": jnp.zeros((64, 1), jnp.int32),
+    }
+    present = (bx.MEASURED,)
+    f = np.asarray(bx.bsdf_f(lobes, wo, wi, present,
+                             tables=(jnp.asarray(tab),)))
+    np.testing.assert_allclose(f[:, 0], 0.3, rtol=1e-5)
+    pdf = np.asarray(bx.bsdf_pdf(lobes, wo, wi, present))
+    np.testing.assert_allclose(pdf, np.asarray(jnp.abs(wi[:, 2])) / np.pi,
+                               rtol=1e-5)
+    # fallback without tables: albedo/pi from S1
+    f_fb = np.asarray(bx.bsdf_f(lobes, wo, wi, present))
+    np.testing.assert_allclose(f_fb[:, 0], 0.5 / np.pi, rtol=1e-5)
+
+
+def test_measured_brdf_irregular_bake(tmp_path):
+    """.brdf text loader + Shepard bake: constant irregular data bakes to a
+    near-constant half-angle grid."""
+    import numpy as np
+    import jax.numpy as jnp
+    from grail.shade import measured as msr
+
+    # constant BRDF 0.2 sampled at a grid of angles, one wavelength pair
+    lines = ["2", "400", "700"]
+    for ti in np.linspace(0.1, 1.4, 6):
+        for to in np.linspace(0.1, 1.4, 6):
+            for dp in np.linspace(0.0, 3.0, 6):
+                lines.append(f"{ti} 0 {to} {dp} 0.2 0.2")
+    path = tmp_path / "const.brdf"
+    path.write_text("\n".join(lines))
+    angles, rgb = msr.read_brdf(str(path))
+    assert angles.shape[0] == 216
+    # flat SPD -> equal-energy white; all samples share one RGB value
+    assert np.allclose(rgb, rgb[0], atol=1e-6)
+    tab = msr.bake_irregular(angles, rgb, nh=8, nd=8, npd=8)
+    inside = tab[..., 1][tab[..., 1] > 0]
+    assert inside.size > 0
+    np.testing.assert_allclose(inside, rgb[0, 1], rtol=0.05)

@@ -104,3 +104,23 @@ def test_distance_sampling_weights_unbiased():
     w_pass = np.asarray(ds["w_pass"])[~np.asarray(ds["in_medium"])]
     np.testing.assert_allclose(w_pass.mean(axis=0) * frac_pass, T_exact,
                                rtol=0.05)
+
+
+def test_phase_function_normalization():
+    """volume.cpp phase library: each integrates to 1 over the sphere."""
+    import numpy as np
+    import jax.numpy as jnp
+    from grail.shade import media as med
+
+    n = 4096
+    mu = jnp.asarray(np.linspace(-1 + 1e-6, 1 - 1e-6, n).astype(np.float32))
+    w = 2 * np.pi * 2.0 / n       # dphi * dmu
+    for name, fn in [("iso", med.phase_isotropic),
+                     ("rayleigh", med.phase_rayleigh),
+                     ("hazy", med.phase_mie_hazy),
+                     ("murky", med.phase_mie_murky),
+                     ("schlick.3", lambda c: med.phase_schlick(0.3, c)),
+                     ("schlick-.5", lambda c: med.phase_schlick(-0.5, c)),
+                     ("hg.6", lambda c: med.phase_hg_eval(0.6, c))]:
+        total = float(np.asarray(fn(mu)).sum() * w)
+        np.testing.assert_allclose(total, 1.0, rtol=2e-2, err_msg=name)

@@ -134,3 +134,27 @@ def test_photonmap_approximates_path(cornell_small):
     ph, path = np.asarray(ph), np.asarray(path)
     assert np.isfinite(ph).all()
     assert 0.5 * path.mean() < ph.mean() < 1.4 * path.mean()
+
+
+def test_crop_window():
+    """Film crop window (pbrt image.cpp ctor): only the crop's pixels get
+    samples, and inside the window the result equals the full render."""
+    import dataclasses
+    import numpy as np
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+
+    scene, meta, _ = cornell_box(xres=32, yres=32, spp=2)
+    cfg = IntegratorConfig(kind="direct", max_depth=1)
+    img_full, _ = render(scene, meta, cfg, spp=2)
+    meta_c = dataclasses.replace(meta, crop=(0.25, 0.75, 0.5, 1.0))
+    img_crop, film = render(scene, meta_c, cfg, spp=2)
+    img_full = np.asarray(img_full)
+    img_crop = np.asarray(img_crop)
+    w = np.asarray(film["weight"])
+    assert w[16:32, 8:24].min() > 0          # window covered
+    assert w[:16, :].max() == 0              # outside untouched
+    assert w[:, :8].max() == 0
+    np.testing.assert_allclose(img_crop[17:31, 9:23], img_full[17:31, 9:23],
+                               atol=1e-5)
