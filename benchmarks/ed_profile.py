@@ -136,8 +136,8 @@ def main():
     alef = jax.jit(lambda hg, w: lt.area_light_emitted(scene, hg, w))
     timeit("area_light_emitted", alef, hg2, -wi_w)
 
-    glf = jax.jit(lambda lidx: scene["tri_light"][jnp.maximum(hit2["prim"], 0)])
-    timeit("tri_light gather", glf, lidx)
+    glf = jax.jit(lambda prim: scene["tri_light"][jnp.maximum(prim, 0)])
+    timeit("tri_light gather", glf, hit2["prim"])
 
 
 if __name__ == "__main__":

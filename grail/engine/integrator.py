@@ -56,6 +56,15 @@ class IntegratorConfig:
     kind: str = "path"            # path | direct | whitted | ao
     max_depth: int = 5
     rr_depth: int = 3             # RR starts after this many bounces (pbrt: 3)
+    # wavefront compaction (SURVEY §2.10 P8): after the first Russian-roulette
+    # bounce, repack surviving lanes into a compact_frac-width buffer and run
+    # the remaining bounces there (stable-partition gather; falls back to the
+    # full-width loop in the rare wave where survivors exceed the capacity, so
+    # the estimator is exact either way)
+    compact: bool = True
+    compact_frac: float = 0.25    # tail capacity (Cornell occupancy after the
+    # first RR is ~4%; a wave overflowing the cap falls back to full width)
+    compact_min: int = 8192       # lane count below which compaction is skipped
     light_strategy: str = "one"   # one (uniform) | power | all
     ao_samples: int = 1
     ao_maxdist: float = 1.0e7
@@ -146,19 +155,26 @@ def scene_intersect_p(scene, meta, o, d, tmax, tmin=None):
     return scene_intersect(scene, meta, o, d, tmax, tmin)["prim"] >= 0
 
 
-def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None):
+def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None,
+                   zero_duv=False):
     """Common post-hit work: shading geometry, bump, textures, lobes, local wo.
 
     camdiff: optional (rx_o, rx_d, ry_o, ry_d) camera differential rays;
     is_primary: traced bool scalar — uv screen derivatives are computed only
     on the primary (bounce-0) wave, as pbrt only carries RayDifferentials on
-    camera/specular rays."""
+    camera/specular rays. zero_duv: emit zero differentials when camdiff is
+    absent (the compacted tail phase, which is never primary — matches the
+    full-width loop's where(is_primary, ., 0) masking)."""
     sg = geom.shading_geometry(scene, hit, o, d)
     if camdiff is not None:
         duvdx, duvdy = geom.uv_differentials(sg, *camdiff)
         keep = is_primary if is_primary is not None else True
         sg["duvdx"] = jnp.where(keep, duvdx, jnp.zeros_like(duvdx))
         sg["duvdy"] = jnp.where(keep, duvdy, jnp.zeros_like(duvdy))
+    elif zero_duv and getattr(meta, "n_images", 0) > 0:
+        z = jnp.zeros(sg["p"].shape[:-1] + (2,), jnp.float32)
+        sg["duvdx"] = z
+        sg["duvdy"] = z
     if getattr(meta, "has_bump", False):
         sg = _apply_bump(scene, meta, sg)
     tex_values = eval_textures(meta.tex_specs, scene["tex_data"], sg,
@@ -317,39 +333,13 @@ def _pick_light(scene, meta, cfg, pix, samp, bounce, active):
     return idx, pmf
 
 
-def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
-    """Radiance for a batch of camera rays — the wavefront bounce loop.
+def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media):
+    """Build the per-bounce SPMD stage closure over a fixed lane width `n`.
 
-    rays: dict from camera.generate_rays; pix, samp: sampler coordinates.
-    Returns L (N,3).
-    """
-    o, d = rays["o"], rays["d"]
-    n = o.shape[0]
-    # Derive the loop-carry seeds from the (possibly device-varying) ray
-    # arrays rather than fresh constants: under shard_map the fori_loop carry
-    # must enter with the same varying-axis type it exits with.
-    zero3 = o * 0.0
-    L = zero3
-    throughput = zero3 + 1.0
-    z0 = zero3[:, 0]
-    active = (z0 == 0.0) | (z0 != 0.0)         # all True (even NaN lanes), varying like o
-    spec_bounce = active                       # bounce-0 emission counts
-    eps = zero3[:, 0]
-
-    if cfg.kind == "ao":
-        return _ao_li(scene, meta, cfg, rays, pix, samp)
-    if cfg.kind not in ("path", "direct", "whitted", "igi"):
-        raise ValueError(f"unknown integrator kind {cfg.kind!r}; "
-                         "expected path|direct|whitted|ao|igi")
-
-    vpls = None
-    if cfg.kind == "igi":
-        from .igi import generate_vpls
-        # VPL set rotates with the wave index (igi.cpp picks a set per sample)
-        vpls = generate_vpls(scene, meta, cfg, samp[0] % cfg.igi_n_sets)
-
-    has_media = scene.get("media") is not None
-    max_depth = cfg.max_depth if cfg.kind in ("path", "whitted") else cfg.max_depth
+    pix/samp are (n,) sampler coordinates; camdiff optional camera
+    differential rays (primary-wave texture footprints only). The factory form
+    lets the compacted tail phase re-instantiate the body at a narrower width
+    with gathered sampler coordinates (SURVEY §2.10 P8)."""
 
     def bounce_body(bounce, state):
         o, d, L, throughput, active, spec_bounce = state
@@ -389,10 +379,10 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
                        0.0)
         active = active & ~miss
 
-        camdiff = rays.get("camdiff")
         sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d,
                                              camdiff=camdiff,
-                                             is_primary=(bounce == 0))
+                                             is_primary=(bounce == 0),
+                                             zero_duv=True)
 
         # emitted at hit (area lights), only for camera/specular vertices
         if lt.AREA in meta.light_types:
@@ -491,9 +481,104 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp):
         d = wi_w
         return (o, d, L, throughput, active, spec_bounce)
 
+    return bounce_body
+
+
+def _compaction_take(active, cap):
+    """Indices of the first `cap` active lanes, in lane order (stable
+    compaction). One cumsum + a vectorized binary search — measured far
+    cheaper on TPU than either a 1M-key sort (~140 ms) or a 1M-element
+    scatter-built permutation (both cost more than the bounces they save).
+    Entries past the live count are n (out of range; gather clips, scatter
+    drops)."""
+    n = active.shape[0]
+    csum = jnp.cumsum(active.astype(jnp.int32))
+    count = csum[-1]
+    take = jnp.searchsorted(csum, jnp.arange(1, cap + 1, dtype=jnp.int32),
+                            side="left").astype(jnp.int32)
+    return take, count
+
+
+def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
+    """Radiance for a batch of camera rays — the wavefront bounce loop.
+
+    rays: dict from camera.generate_rays; pix, samp: sampler coordinates.
+    Returns L (N,3); with_stats=True returns (L, occ) where occ[b] = number of
+    lanes active entering bounce b (the wavefront occupancy signal, SURVEY
+    §5.1 — pbrt's PBRT_* ray-counter probes analog).
+    """
+    o, d = rays["o"], rays["d"]
+    n = o.shape[0]
+    # Derive the loop-carry seeds from the (possibly device-varying) ray
+    # arrays rather than fresh constants: under shard_map the fori_loop carry
+    # must enter with the same varying-axis type it exits with.
+    zero3 = o * 0.0
+    L = zero3
+    throughput = zero3 + 1.0
+    z0 = zero3[:, 0]
+    active = (z0 == 0.0) | (z0 != 0.0)         # all True (even NaN lanes), varying like o
+    spec_bounce = active                       # bounce-0 emission counts
+
+    if cfg.kind == "ao":
+        return _ao_li(scene, meta, cfg, rays, pix, samp)
+    if cfg.kind not in ("path", "direct", "whitted", "igi"):
+        raise ValueError(f"unknown integrator kind {cfg.kind!r}; "
+                         "expected path|direct|whitted|ao|igi")
+
+    vpls = None
+    if cfg.kind == "igi":
+        from .igi import generate_vpls
+        # VPL set rotates with the wave index (igi.cpp picks a set per sample)
+        vpls = generate_vpls(scene, meta, cfg, samp[0] % cfg.igi_n_sets)
+
+    has_media = scene.get("media") is not None
+    max_depth = cfg.max_depth
+    body = _make_bounce_body(scene, meta, cfg, pix, samp, rays.get("camdiff"),
+                             n, vpls, has_media)
     state = (o, d, L, throughput, active, spec_bounce)
-    state = jax.lax.fori_loop(0, max_depth + 1, bounce_body, state)
-    L = state[2]
+
+    occ = jnp.zeros((max_depth + 1,), jnp.float32) if with_stats else None
+
+    def body_occ(b, carry):
+        st, oc = carry
+        oc = oc.at[b].set(jnp.sum(st[4].astype(jnp.float32)))
+        return body(b, st), oc
+
+    # compaction split point: the iteration after the first Russian roulette
+    k = min(cfg.rr_depth + 1, max_depth + 1)
+    cap = (int(n * cfg.compact_frac) // 1024) * 1024
+    use_compact = (cfg.compact and cfg.kind == "path" and not with_stats
+                   and n >= cfg.compact_min and k < max_depth + 1
+                   and cap >= 1024)
+    if not use_compact:
+        if with_stats:
+            state, occ = jax.lax.fori_loop(0, max_depth + 1, body_occ,
+                                           (state, occ))
+            return state[2] * rays["weight"][..., None], occ
+        state = jax.lax.fori_loop(0, max_depth + 1, body, state)
+        return state[2] * rays["weight"][..., None]
+
+    state = jax.lax.fori_loop(0, k, body, state)
+    o1, d1, L1, thr1, act1, spec1 = state
+    take, count = _compaction_take(act1, cap)
+
+    def compacted(_):
+        gidx = jnp.minimum(take, n - 1)
+        live = jnp.arange(cap, dtype=jnp.int32) < count
+        g = lambda a: a[gidx]
+        sub_state = (g(o1), g(d1), g(L1), g(thr1), g(act1) & live, g(spec1))
+        sub_body = _make_bounce_body(scene, meta, cfg, pix[gidx], samp[gidx],
+                                     None, cap, vpls, has_media)
+        sub_state = jax.lax.fori_loop(k, max_depth + 1, sub_body, sub_state)
+        # dead take entries are index n → dropped by the scatter, so a live
+        # lane aliased by the gather clip can never be overwritten
+        return L1.at[take].set(sub_state[2], mode="drop")
+
+    def full_width(_):
+        st = jax.lax.fori_loop(k, max_depth + 1, body, state)
+        return st[2]
+
+    L = jax.lax.cond(count <= cap, compacted, full_width, None)
     return L * rays["weight"][..., None]
 
 

@@ -175,6 +175,39 @@ def _render_cropped(scene, meta, cfg, film, spp, start_wave, aux, progress):
     return flm.develop(film), film
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _occupancy_probe_jit(scene, meta, cfg, samp_idx):
+    lane = jnp.arange(meta.xres * meta.yres, dtype=jnp.uint32)
+    if flm.tiled_order(meta):
+        px_t, py_t = flm.lane_pixel(lane, meta.xres)
+        pix = py_t.astype(jnp.uint32) * meta.xres + px_t.astype(jnp.uint32)
+    else:
+        pix = lane
+    samp = jnp.broadcast_to(jnp.asarray(samp_idx, jnp.uint32), pix.shape)
+    px = (pix % meta.xres).astype(jnp.int32)
+    py = (pix // meta.xres).astype(jnp.int32)
+    ufx, ufy = rngmod.sample_2d(meta.sampler, pix, samp, SLOT_FILM)
+    ul1, ul2 = rngmod.sample_2d(meta.sampler, pix, samp, SLOT_LENS)
+    ut = rngmod.sample_1d(meta.sampler, pix, samp, SLOT_TIME)
+    rays = cam.generate_rays(scene["camera"], px, py, ufx, ufy, ul1, ul2, ut,
+                             meta.cam_kind)
+    _, occ = li(scene, meta, cfg, rays, pix, samp, with_stats=True)
+    return occ
+
+
+def occupancy_probe(scene, meta, cfg, samp_idx=0):
+    """Per-bounce wavefront occupancy (SURVEY §5.1 — the #1 perf signal for a
+    masked wavefront tracer; pbrt's PBRT_* counting-probes analog). Returns a
+    list of active-lane fractions entering each bounce, or None for
+    integrator kinds without the shared bounce loop."""
+    if cfg.kind not in ("path", "direct", "whitted", "igi"):
+        return None
+    occ = _occupancy_probe_jit(scene, meta, cfg, jnp.uint32(samp_idx))
+    n = meta.xres * meta.yres
+    import numpy as np
+    return [round(float(v) / n, 4) for v in np.asarray(occ)]
+
+
 def auto_spp_chunk(meta, spp, target_rays=1 << 20):
     """Samples per megawave. TPU kernel dispatch has a fixed cost that dwarfs
     the per-ray work at small N (measured: 65k rays ≈ 3.3ms, 4M rays ≈ 6ms for
@@ -237,6 +270,14 @@ def render(scene, meta, cfg: IntegratorConfig, spp=None, film=None, start_wave=0
     import time as _time
     t0 = _time.perf_counter()
     rays_done = 0
+    if metrics_path:
+        # one occupancy probe per render: per-bounce active-lane fractions
+        # (SURVEY §5.1) so perf work can see where the wavefront goes dark
+        occ = occupancy_probe(scene, meta, cfg, samp_idx=start_wave)
+        if occ is not None:
+            import json
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({"occupancy_per_bounce": occ}) + "\n")
     # fast path: no per-wave host callbacks → the whole render is ONE jitted
     # dispatch (lax.fori_loop over megawaves); per-launch tunnel latency on
     # this platform is ~130 ms, so launch count dominates small renders

@@ -158,3 +158,55 @@ def test_crop_window():
     assert w[:, :8].max() == 0
     np.testing.assert_allclose(img_crop[17:31, 9:23], img_full[17:31, 9:23],
                                atol=1e-5)
+
+
+def test_compaction_matches_full_width():
+    """Wavefront compaction (SURVEY §2.10 P8): after the first RR bounce the
+    surviving lanes are repacked into a quarter-width buffer; the image must
+    equal the full-width loop exactly (same per-lane draws via counter RNG)."""
+    import numpy as np
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+
+    scene, meta, _ = cornell_box(xres=64, yres=64, spp=2)
+    on = IntegratorConfig(kind="path", compact=True, compact_min=1024)
+    off = IntegratorConfig(kind="path", compact=False)
+    img_on, _ = render(scene, meta, on, spp=2)
+    img_off, _ = render(scene, meta, off, spp=2)
+    np.testing.assert_allclose(np.asarray(img_on), np.asarray(img_off),
+                               atol=1e-6)
+
+
+def test_compaction_overflow_falls_back():
+    """A wave whose survivors exceed the compaction capacity must take the
+    full-width branch and still be exact (here: cap floor 1024 = 25% of 4096
+    lanes, but no RR before max_depth, so ~all lanes survive the split)."""
+    import numpy as np
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+
+    scene, meta, _ = cornell_box(xres=64, yres=64, spp=1)
+    on = IntegratorConfig(kind="path", compact=True, compact_min=1024,
+                          rr_depth=1, max_depth=3, compact_frac=0.25)
+    off = IntegratorConfig(kind="path", compact=False, rr_depth=1, max_depth=3)
+    img_on, _ = render(scene, meta, on, spp=1)
+    img_off, _ = render(scene, meta, off, spp=1)
+    np.testing.assert_allclose(np.asarray(img_on), np.asarray(img_off),
+                               atol=1e-6)
+
+
+def test_occupancy_probe():
+    """Per-bounce occupancy counters (SURVEY §5.1): fractions start at 1.0,
+    never increase, and collapse after Russian roulette kicks in."""
+    from grail.scene.presets import cornell_box
+    from grail.engine.render import render, occupancy_probe
+    from grail.engine.integrator import IntegratorConfig
+
+    scene, meta, _ = cornell_box(xres=32, yres=32, spp=1)
+    occ = occupancy_probe(scene, meta, IntegratorConfig(kind="path"))
+    assert occ is not None and len(occ) == 6
+    assert occ[0] == 1.0
+    assert all(b <= a + 1e-6 for a, b in zip(occ, occ[1:]))
+    assert occ[-1] < 0.5   # RR has culled the tail
