@@ -64,11 +64,16 @@ def _exr_predictor_encode(buf):
     inter[:half] = buf[0::2]
     inter[half:] = buf[1::2]
     out = bytearray(n)
-    prev = 0
-    for i in range(n):
-        d = (inter[i] - prev + 128 + 256) & 0xFF
-        out[i] = d
-        prev = inter[i]
+    if n:
+        # first byte passes through (ImfZip.cpp: t starts at buf+1) — the
+        # decoder's cumulative sum reconstructs from it, so biasing it would
+        # shift EVERY later byte by the same amount
+        out[0] = inter[0]
+        prev = inter[0]
+        for i in range(1, n):
+            d = (inter[i] - prev + 128 + 256) & 0xFF
+            out[i] = d
+            prev = inter[i]
     return bytes(out)
 
 

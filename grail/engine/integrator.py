@@ -126,10 +126,10 @@ def _alpha_at(scene, meta, hit, o, d):
     return jnp.where((hit["prim"] >= 0) & (row >= 0), a, 1.0)
 
 
-def scene_intersect(scene, meta, o, d, tmax, tmin=None):
+def scene_intersect(scene, meta, o, d, tmax, tmin=None, time=None):
     """Scene::Intersect with alpha-cutout re-tracing when the scene has
     alpha-mapped triangles (meta.alpha_rows non-empty)."""
-    hit = isect.intersect(scene, o, d, tmax, tmin)
+    hit = isect.intersect(scene, o, d, tmax, tmin, time=time)
     if not getattr(meta, "alpha_rows", ()):
         return hit
     for _ in range(ALPHA_MAX_REJECT):
@@ -137,26 +137,28 @@ def scene_intersect(scene, meta, o, d, tmax, tmin=None):
         cut = (hit["prim"] >= 0) & (a <= 0.0)
         t2min = jnp.where(cut, hit["t"] * (1.0 + 1e-4) + 1e-5, 3.0e37)
         t2max = jnp.where(cut, tmax, -3.0e37)
-        hit2 = isect.intersect(scene, o, d, t2max, t2min)
+        hit2 = isect.intersect(scene, o, d, t2max, t2min, time=time)
         hit = {k: jnp.where(cut, hit2[k], hit[k]) for k in hit}
     # still on a cutout after the cap: call it a miss
+    out = dict(hit)
     a = _alpha_at(scene, meta, hit, o, d)
     cut = (hit["prim"] >= 0) & (a <= 0.0)
-    return {"t": jnp.where(cut, isect.BIG_T, hit["t"]),
-            "prim": jnp.where(cut, -1, hit["prim"]),
-            "b1": hit["b1"], "b2": hit["b2"]}
+    out["t"] = jnp.where(cut, isect.BIG_T, hit["t"])
+    out["prim"] = jnp.where(cut, -1, hit["prim"])
+    return out
 
 
-def scene_intersect_p(scene, meta, o, d, tmax, tmin=None):
+def scene_intersect_p(scene, meta, o, d, tmax, tmin=None, time=None):
     """Scene::IntersectP honoring alpha cutouts (closest-hit loop when the
     scene has them; plain any-hit otherwise)."""
     if not getattr(meta, "alpha_rows", ()):
-        return isect.intersect_p(scene, o, d, tmax, tmin)
-    return scene_intersect(scene, meta, o, d, tmax, tmin)["prim"] >= 0
+        return isect.intersect_p(scene, o, d, tmax, tmin, time=time)
+    return scene_intersect(scene, meta, o, d, tmax, tmin,
+                           time=time)["prim"] >= 0
 
 
 def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None,
-                   zero_duv=False):
+                   zero_duv=False, time=None):
     """Common post-hit work: shading geometry, bump, textures, lobes, local wo.
 
     camdiff: optional (rx_o, rx_d, ry_o, ry_d) camera differential rays;
@@ -165,7 +167,7 @@ def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None,
     camera/specular rays. zero_duv: emit zero differentials when camdiff is
     absent (the compacted tail phase, which is never primary — matches the
     full-width loop's where(is_primary, ., 0) masking)."""
-    sg = geom.shading_geometry(scene, hit, o, d)
+    sg = geom.shading_geometry(scene, hit, o, d, time=time)
     if camdiff is not None:
         duvdx, duvdy = geom.uv_differentials(sg, *camdiff)
         keep = is_primary if is_primary is not None else True
@@ -238,7 +240,7 @@ def _detach(x):
 
 
 def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
-                    u_light, u_tri, u_comp, u_dir, active):
+                    u_light, u_tri, u_comp, u_dir, active, time=None):
     """One-light direct lighting with MIS (pbrt integrator.cpp EstimateDirect).
 
     light_idx (N,): chosen light row; light_pmf (N,): its selection probability.
@@ -260,7 +262,7 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
     # shadow ray (only meaningful where contrib possible; traced for all lanes)
     occluded = scene_intersect_p(
         scene, meta, p + ls["wi"] * eps[..., None], ls["wi"],
-        jnp.where(contrib_possible, ls["dist"] - 2.0 * eps, 0.0))
+        jnp.where(contrib_possible, ls["dist"] - 2.0 * eps, 0.0), time=time)
     radiance = ls["radiance"]
     if scene.get("media") is not None:
         # VisibilityTester::Transmittance through participating media
@@ -286,7 +288,8 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
         can = active & bs["valid"] & (bs["pdf"] > 0.0) \
             & ~lt.is_delta(scene["lights"]["type"][light_idx])
         hit2 = scene_intersect(scene, meta, p + wi_w * eps[..., None], wi_w,
-                               jnp.where(can, BIG, 0.0) * jnp.ones_like(eps))
+                               jnp.where(can, BIG, 0.0) * jnp.ones_like(eps),
+                               time=time)
         light_pdf_dir = jnp.zeros_like(bs["pdf"])
         Li2 = jnp.zeros_like(Ld)
         hit_light = jnp.zeros(p.shape[0], jnp.bool_)
@@ -333,7 +336,8 @@ def _pick_light(scene, meta, cfg, pix, samp, bounce, active):
     return idx, pmf
 
 
-def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media):
+def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
+                      time=None):
     """Build the per-bounce SPMD stage closure over a fixed lane width `n`.
 
     pix/samp are (n,) sampler coordinates; camdiff optional camera
@@ -345,7 +349,8 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media):
         o, d, L, throughput, active, spec_bounce = state
         eps = jnp.zeros((n,), jnp.float32)
         hit = scene_intersect(scene, meta, o, d,
-                              jnp.where(active, BIG, 0.0) * jnp.ones_like(eps))
+                              jnp.where(active, BIG, 0.0) * jnp.ones_like(eps),
+                              time=time)
         miss = hit["prim"] < 0
 
         if has_media:
@@ -382,7 +387,7 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media):
         sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d,
                                              camdiff=camdiff,
                                              is_primary=(bounce == 0),
-                                             zero_duv=True)
+                                             zero_duv=True, time=time)
 
         # emitted at hit (area lights), only for camera/specular vertices
         if lt.AREA in meta.light_types:
@@ -413,7 +418,7 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media):
                                          _bdim(bounce, _D_MIS_COMP) + 100 * lrow),
                         (rngmod.sample_2d(meta.sampler, pix, samp,
                                           _bdim(bounce, _D_MIS_DIR) + 100 * lrow)),
-                        active)
+                        active, time=time)
             else:
                 lidx, pmf = _pick_light(scene, meta, cfg, pix, samp, bounce, active)
                 Ld = estimate_direct(
@@ -422,7 +427,7 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media):
                     rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_LIGHT_TRI)),
                     rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_MIS_COMP)),
                     rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_MIS_DIR)),
-                    active)
+                    active, time=time)
             L += jnp.where(active[..., None], throughput * Ld, 0.0)
         elif meta.n_lights > 0 and cfg.kind == "whitted":
             # whitted.cpp: sample every light once, no MIS
@@ -443,7 +448,8 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media):
                 occl = scene_intersect_p(
                     scene, meta,
                     sg["p"] + ls["wi"] * sg["ray_eps"][..., None], ls["wi"],
-                    jnp.where(ok, ls["dist"] - 2.0 * sg["ray_eps"], 0.0))
+                    jnp.where(ok, ls["dist"] - 2.0 * sg["ray_eps"], 0.0),
+                    time=time)
                 Ld += jnp.where((ok & ~occl)[..., None],
                                 f_l * ls["radiance"]
                                 * (cos_l / _detach(jnp.maximum(ls["pdf"], 1e-12)))[..., None],
@@ -533,8 +539,9 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
 
     has_media = scene.get("media") is not None
     max_depth = cfg.max_depth
+    time = rays.get("time")
     body = _make_bounce_body(scene, meta, cfg, pix, samp, rays.get("camdiff"),
-                             n, vpls, has_media)
+                             n, vpls, has_media, time=time)
     state = (o, d, L, throughput, active, spec_bounce)
 
     occ = jnp.zeros((max_depth + 1,), jnp.float32) if with_stats else None
@@ -567,8 +574,9 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
         live = jnp.arange(cap, dtype=jnp.int32) < count
         g = lambda a: a[gidx]
         sub_state = (g(o1), g(d1), g(L1), g(thr1), g(act1) & live, g(spec1))
+        sub_time = None if time is None else time[gidx]
         sub_body = _make_bounce_body(scene, meta, cfg, pix[gidx], samp[gidx],
-                                     None, cap, vpls, has_media)
+                                     None, cap, vpls, has_media, time=sub_time)
         sub_state = jax.lax.fori_loop(k, max_depth + 1, sub_body, sub_state)
         # dead take entries are index n → dropped by the scatter, so a live
         # lane aliased by the gather clip can never be overwritten
@@ -586,9 +594,10 @@ def _ao_li(scene, meta, cfg, rays, pix, samp):
     """ambientocclusion.cpp: fraction of cosine-sampled rays unoccluded."""
     o, d = rays["o"], rays["d"]
     n = o.shape[0]
+    time = rays.get("time")
     hit = scene_intersect(scene, meta, o, d,
-                          BIG * jnp.ones((n,), jnp.float32))
-    sg = geom.shading_geometry(scene, hit, o, d)
+                          BIG * jnp.ones((n,), jnp.float32), time=time)
+    sg = geom.shading_geometry(scene, hit, o, d, time=time)
     active = hit["prim"] >= 0
     total = jnp.zeros((n,), jnp.float32)
     for s in range(cfg.ao_samples):
@@ -598,7 +607,7 @@ def _ao_li(scene, meta, cfg, rays, pix, samp):
         w = jnp.where(dot(w, sg["ng"])[..., None] < 0.0, -w, w)
         occ = scene_intersect_p(
             scene, meta, sg["p"] + w * sg["ray_eps"][..., None], w,
-            jnp.full((n,), cfg.ao_maxdist, jnp.float32))
+            jnp.full((n,), cfg.ao_maxdist, jnp.float32), time=time)
         total += jnp.where(active & ~occ, 1.0, 0.0)
     ao = total / cfg.ao_samples
     return ao[..., None] * jnp.ones((n, 3)) * rays["weight"][..., None]

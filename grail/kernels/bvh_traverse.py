@@ -28,20 +28,27 @@ def _slab(o, inv_d, tmin, tmax, bmin, bmax):
     return (near <= far) & (far > tmin) & (near < tmax)
 
 
-def _traverse(scene, o, d, tmax, tmin, any_hit):
-    """Shared traversal loop. any_hit=True → early-out occlusion (IntersectP)."""
-    bvh = scene["bvh"]
+def traverse_tables(bvh, verts, tri_idx, o, d, tmax, tmin, any_hit,
+                    root=None):
+    """Shared traversal loop over explicit flattened-BVH tables.
+
+    any_hit=True → early-out occlusion (IntersectP). root: optional per-lane
+    (N,) start node — the BLAS entry point for two-level TLAS traversal
+    (pbrt TransformedPrimitive::Intersect hands the object-space ray to the
+    inner aggregate; here the inner aggregates live concatenated in one node
+    table and each lane starts at its instance's subtree root)."""
     n = o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     neg = (inv_d < 0.0)  # (N,3)
 
-    verts = scene["verts"]
-    tri_idx = scene["tri_idx"]
     prim_ids = bvh["prim_ids"]
 
+    stack0 = jnp.zeros((n, STACK_DEPTH), jnp.int32)
+    if root is not None:
+        stack0 = stack0.at[:, 0].set(root)
     state = {
-        "stack": jnp.zeros((n, STACK_DEPTH), jnp.int32),
-        "sp": jnp.ones((n,), jnp.int32),        # stack holds node 0
+        "stack": stack0,
+        "sp": jnp.ones((n,), jnp.int32),        # stack holds the root
         "t": tmax,
         "prim": jnp.full((n,), -1, jnp.int32),
         "b1": jnp.zeros((n,), jnp.float32),
@@ -115,6 +122,11 @@ def _traverse(scene, o, d, tmax, tmin, any_hit):
 
     out = lax.while_loop(cond, body, state)
     return out
+
+
+def _traverse(scene, o, d, tmax, tmin, any_hit):
+    return traverse_tables(scene["bvh"], scene["verts"], scene["tri_idx"],
+                           o, d, tmax, tmin, any_hit)
 
 
 def bvh_intersect(scene, o, d, tmax, tmin=None):

@@ -188,8 +188,7 @@ def _use_stream(scene):
     return stream_fits_vmem(scene)
 
 
-def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
-    """Scene intersection dispatch (Scene::Intersect analog)."""
+def _base_intersect(scene, o, d, tmax, tmin, use_bvh):
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:
@@ -202,16 +201,42 @@ def intersect(scene, o, d, tmax, tmin=None, use_bvh=None):
     return intersect_brute(scene, o, d, tmax, tmin)
 
 
-def intersect_p(scene, o, d, tmax, tmin=None, use_bvh=None):
+def intersect(scene, o, d, tmax, tmin=None, use_bvh=None, time=None):
+    """Scene intersection dispatch (Scene::Intersect analog).
+
+    time (N,): ray times for animated instance transforms (None ⇒ shutter
+    open). Scenes with instances return an extra hit field "inst"."""
+    hit = _base_intersect(scene, o, d, tmax, tmin, use_bvh)
+    if scene.get("inst") is not None:
+        from .instanced import instances_intersect
+        t_cut = jnp.minimum(tmax, hit["t"])
+        ih = instances_intersect(scene, o, d, t_cut, tmin, time)
+        closer = ih["prim"] >= 0           # instanced hit strictly inside t_cut
+        out = {k: jnp.where(closer, ih[k], hit[k])
+               for k in ("t", "prim", "b1", "b2")}
+        out["inst"] = jnp.where(closer, ih["inst"], -1)
+        return out
+    return hit
+
+
+def intersect_p(scene, o, d, tmax, tmin=None, use_bvh=None, time=None):
     """Occlusion test dispatch (Scene::IntersectP analog)."""
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:
         if _use_stream(scene):
-            return _stream_bvh(scene, o, d, tmax, tmin,
-                               any_hit=True)["occluded"]
-        from .bvh_traverse import bvh_intersect_p
-        return bvh_intersect_p(scene, o, d, tmax, tmin)
-    if _pallas_ok():
-        return _brute_pallas(scene, o, d, tmax, tmin)["prim"] >= 0
-    return intersect_p_brute(scene, o, d, tmax, tmin)
+            occ = _stream_bvh(scene, o, d, tmax, tmin,
+                              any_hit=True)["occluded"]
+        else:
+            from .bvh_traverse import bvh_intersect_p
+            occ = bvh_intersect_p(scene, o, d, tmax, tmin)
+    elif _pallas_ok():
+        occ = _brute_pallas(scene, o, d, tmax, tmin)["prim"] >= 0
+    else:
+        occ = intersect_p_brute(scene, o, d, tmax, tmin)
+    if scene.get("inst") is not None:
+        from .instanced import instances_intersect
+        tmax2 = jnp.where(occ, jnp.float32(-BIG_T), tmax)
+        occ = occ | instances_intersect(scene, o, d, tmax2, tmin, time,
+                                        any_hit=True)["occluded"]
+    return occ

@@ -117,6 +117,7 @@ class PbrtAPI:
         self.renderer_name = "sampler"
         self.renderer_params = ParamSet()
         self.objects = {}                 # ObjectBegin name -> recorded shapes
+        self._tlas_objects = {}           # name -> builder object id (BLAS)
         self.current_object = None
         self.search_path = "."
         self.volume_regions = []
@@ -651,9 +652,25 @@ class PbrtAPI:
                     shape_params=None):
         b = self.builder
         m = ctm.t[0]
+        if ctm.is_animated() and not world_space and gs.area_light is None:
+            # object motion blur (TransformedPrimitive with an animated
+            # PrimitiveToWorld): emit as a single-instance TLAS object with
+            # object-space geometry and the transform pair on the instance
+            nrm = normals
+            if nrm is not None:
+                nn = np.linalg.norm(nrm, axis=1, keepdims=True)
+                nrm = nrm / np.maximum(nn, 1e-12)
+            mat_id = (self._current_material_id(shape_params or ParamSet())
+                      if gs is self.gs else
+                      self._material_id_for_state(gs, shape_params))
+            obj_id = b.add_object()
+            b.add_object_mesh(obj_id, verts, idx, mat_id, normals=nrm, uvs=uvs,
+                              reverse_orientation=gs.reverse_orientation)
+            b.add_instance(obj_id, ctm.t[0].copy(), ctm.t[1].copy())
+            return
         if ctm.is_animated():
-            log.warning("Animated shape transform: using shutter-open transform "
-                        "(object motion blur arrives with the TLAS)")
+            log.warning("Animated transform on a world-space/area-light shape: "
+                        "using the shutter-open key")
         if not world_space:
             verts = tr.xform_p_np(m, verts)
             if normals is not None:
@@ -798,20 +815,51 @@ class PbrtAPI:
         self.current_object = None
         self.attribute_end()
 
+    # objects at or below this triangle count are flattened into the base
+    # soup (baking a couple of tris is cheaper than a TLAS visit); larger
+    # objects share one BLAS across all their instances (TransformedPrimitive)
+    INSTANCE_BAKE_MAX = 16
+
     def object_instance(self, name):
         if name not in self.objects:
             log.warning("ObjectInstance: unknown object %r", name)
             return
+        shapes = self.objects[name]
         inst_ctm = self.ctm
-        total = sum(len(s[1]) for s in self.objects[name])
-        if total > 50000:
-            log.warning("Baking instance %r with %d tris (TLAS pending)",
-                        name, total)
-        for verts, idx, normals, uvs, world_space, gs, obj_ctm in \
-                self.objects[name]:
-            combined = TransformSet()
-            combined.t = [inst_ctm.t[i] @ obj_ctm.t[i] for i in range(2)]
-            self._emit_shape(verts, idx, normals, uvs, world_space, gs, combined)
+        total = sum(len(s[1]) for s in shapes)
+        if total <= self.INSTANCE_BAKE_MAX:
+            for verts, idx, normals, uvs, world_space, gs, obj_ctm in shapes:
+                combined = TransformSet()
+                combined.t = [inst_ctm.t[i] @ obj_ctm.t[i] for i in range(2)]
+                self._emit_shape(verts, idx, normals, uvs, world_space, gs,
+                                 combined)
+            return
+        b = self.builder
+        obj_id = self._tlas_objects.get(name)
+        if obj_id is None:
+            obj_id = b.add_object()
+            for verts, idx, normals, uvs, world_space, gs, obj_ctm in shapes:
+                m = obj_ctm.t[0]
+                if obj_ctm.is_animated():
+                    log.warning("Animated CTM inside ObjectBegin %r: using the "
+                                "start key (pbrt uses the CTM at shape time)",
+                                name)
+                ov, on = verts, normals
+                if not world_space:
+                    ov = tr.xform_p_np(m, verts)
+                    if normals is not None:
+                        on = tr.xform_n_np(tr.inverse(m), normals)
+                        on = on / np.maximum(
+                            np.linalg.norm(on, axis=1, keepdims=True), 1e-12)
+                if gs.area_light is not None:
+                    log.warning("Area light inside ObjectInstance %r ignored "
+                                "(pbrt TransformedPrimitive carries no area "
+                                "light)", name)
+                mat_id = self._material_id_for_state(gs, None)
+                b.add_object_mesh(obj_id, ov, idx, mat_id, normals=on, uvs=uvs,
+                                  reverse_orientation=gs.reverse_orientation)
+            self._tlas_objects[name] = obj_id
+        b.add_instance(obj_id, inst_ctm.t[0].copy(), inst_ctm.t[1].copy())
 
     # ------------------------------------------------------------------ volumes
     def volume(self, name, params):

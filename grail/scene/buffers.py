@@ -49,6 +49,52 @@ class SceneMeta:
     crop: Tuple[float, float, float, float] = (0.0, 1.0, 0.0, 1.0)
 
 
+def _motion_bounds(m0, m1, omin, omax, steps=16):
+    """Conservative world AABB of an object box under an animated transform —
+    pbrt AnimatedTransform::MotionBounds (union of interpolated-step bounds)."""
+    corners = np.asarray([[omin[0] if i & 1 else omax[0],
+                           omin[1] if i & 2 else omax[1],
+                           omin[2] if i & 4 else omax[2]] for i in range(8)],
+                         np.float32)
+    m0 = np.asarray(m0, np.float32)
+    m1 = np.asarray(m1, np.float32)
+    if np.allclose(m0, m1):
+        w = tr.xform_p_np(m0, corners)
+        lo, hi = w.min(0), w.max(0)
+    else:
+        t0, q0, s0 = tr.decompose(m0)
+        t1, q1, s1 = tr.decompose(m1)
+        q0 = np.asarray(q0, np.float64)
+        q1 = np.asarray(q1, np.float64)
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for k in range(steps):
+            u = k / (steps - 1.0)
+            T = (1 - u) * t0 + u * t1
+            S = (1 - u) * s0 + u * s1
+            d = float(np.dot(q0, q1))
+            qb = -q1 if d < 0 else q1
+            d = abs(d)
+            if d > 0.9995:
+                q = (1 - u) * q0 + u * qb
+            else:
+                th = np.arccos(np.clip(d, -1.0, 1.0))
+                q = (np.sin((1 - u) * th) * q0 + np.sin(u * th) * qb) \
+                    / np.sin(th)
+            q = q / np.linalg.norm(q)
+            x, y, z, w_ = q
+            R = np.asarray([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w_), 2 * (x * z + y * w_)],
+                [2 * (x * y + z * w_), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w_)],
+                [2 * (x * z - y * w_), 2 * (y * z + x * w_), 1 - 2 * (x * x + y * y)]])
+            M = R @ S
+            w = corners @ M.T + T
+            lo = np.minimum(lo, w.min(0))
+            hi = np.maximum(hi, w.max(0))
+    pad = 1e-4 * (np.linalg.norm(hi - lo) + 1.0)
+    return (lo - pad).astype(np.float32), (hi + pad).astype(np.float32)
+
+
 class SceneBuilder:
     def __init__(self):
         self.verts = []
@@ -78,6 +124,8 @@ class SceneBuilder:
         self.env_row = -1
         self.use_bvh = None      # None = auto (n_tris > 64), True/False forced
         self.media_regions = []  # list of dicts (add_volume)
+        self.inst_objects = []   # object-space mesh buckets (ObjectBegin/End)
+        self.instances = []      # {obj, m0, m1} (ObjectInstance / animated shapes)
         self.density_grids = []
 
     # ------------------------------------------------------------------- textures
@@ -186,6 +234,50 @@ class SceneBuilder:
         self.tri_alpha.append(np.full(ntri, alpha_tex, np.int64))
         return light_id
 
+    # ------------------------------------------------------------------- instances
+    def add_object(self):
+        """Open a reusable object-space geometry bucket (pbrtObjectBegin).
+        Returns the object id for add_object_mesh/add_instance."""
+        self.inst_objects.append({
+            "verts": [], "vnorm": [], "vuv": [], "tri_idx": [],
+            "tri_mat": [], "tri_flags": [], "n_verts": 0})
+        return len(self.inst_objects) - 1
+
+    def add_object_mesh(self, obj_id, verts, idx, material, normals=None,
+                        uvs=None, reverse_orientation=False):
+        """Append an OBJECT-SPACE mesh to an instancing bucket. Geometry is
+        stored once regardless of instance count (pbrt TransformedPrimitive;
+        area lights inside objects are unsupported, as in the reference)."""
+        ob = self.inst_objects[obj_id]
+        verts = np.asarray(verts, np.float32).reshape(-1, 3)
+        idx = np.asarray(idx, np.int64).reshape(-1, 3)
+        nv = verts.shape[0]
+        ntri = idx.shape[0]
+        flags = 0
+        if normals is not None:
+            flags |= geom.HAS_NS
+        if uvs is not None:
+            flags |= geom.HAS_UV
+        if reverse_orientation:
+            flags |= geom.REVERSE_ORIENTATION
+        ob["verts"].append(verts)
+        ob["vnorm"].append(np.asarray(normals, np.float32).reshape(-1, 3)
+                           if normals is not None
+                           else np.zeros((nv, 3), np.float32))
+        ob["vuv"].append(np.asarray(uvs, np.float32).reshape(-1, 2)
+                         if uvs is not None else np.zeros((nv, 2), np.float32))
+        ob["tri_idx"].append(idx + ob["n_verts"])
+        ob["tri_mat"].append(np.full(ntri, material, np.int64))
+        ob["tri_flags"].append(np.full(ntri, flags, np.int64))
+        ob["n_verts"] += nv
+
+    def add_instance(self, obj_id, m0, m1=None):
+        """Instantiate an object with a (possibly animated) object-to-world
+        transform pair (pbrtObjectInstance → TransformedPrimitive)."""
+        m0 = np.asarray(m0, np.float32)
+        m1 = m0 if m1 is None else np.asarray(m1, np.float32)
+        self.instances.append({"obj": obj_id, "m0": m0, "m1": m1})
+
     # ---------------------------------------------------------------------- lights
     def add_point_light(self, p, intensity):
         m = tr.translate(np.asarray(p, np.float64))
@@ -260,24 +352,76 @@ class SceneBuilder:
 
     # --------------------------------------------------------------------- finalize
     def finalize(self):
-        n_tris = sum(len(t) for t in self.tri_idx)
+        if self.instances and sum(len(t) for t in self.tri_idx) == 0:
+            # instanced-only scene: every intersect path still wants base
+            # geometry; park one far-away micro-triangle (never hit)
+            far = 1.0e30
+            self.add_mesh(np.asarray([[far, far, far], [far, far + 1, far],
+                                      [far, far, far + 1]], np.float32),
+                          np.asarray([[0, 1, 2]], np.int64), 0)
+        n_tris = sum(len(t) for t in self.tri_idx)   # base (non-instanced)
         if n_tris == 0:
             raise ValueError("scene has no geometry")
         verts = np.concatenate(self.verts) if self.verts else np.zeros((0, 3), np.float32)
+        vnorm = np.concatenate(self.vnorm)
+        vuv = np.concatenate(self.vuv)
+        tri_idx = np.concatenate(self.tri_idx)
+        tri_mat = np.concatenate(self.tri_mat)
+        tri_light = np.concatenate(self.tri_light)
+        tri_flags = np.concatenate(self.tri_flags)
+        tri_alpha = np.concatenate(self.tri_alpha)
+        base_verts = verts
+
+        # ---- instanced objects: object-space geometry appended ONCE after
+        # the base soup (global tri ids >= n_tris); per-tri tables extend so
+        # every downstream gather (mat/light/flags/alpha) works unchanged
+        inst_meta = None
+        if self.instances:
+            obj_tri_ranges = []
+            for ob in self.inst_objects:
+                if not ob["tri_idx"]:
+                    obj_tri_ranges.append((len(tri_idx), len(tri_idx)))
+                    continue
+                ov = np.concatenate(ob["verts"])
+                t0 = len(tri_idx)
+                tri_idx = np.concatenate(
+                    [tri_idx, np.concatenate(ob["tri_idx"]) + len(verts)])
+                verts = np.concatenate([verts, ov])
+                vnorm = np.concatenate([vnorm, np.concatenate(ob["vnorm"])])
+                vuv = np.concatenate([vuv, np.concatenate(ob["vuv"])])
+                tri_mat = np.concatenate([tri_mat, np.concatenate(ob["tri_mat"])])
+                tri_flags = np.concatenate(
+                    [tri_flags, np.concatenate(ob["tri_flags"])])
+                nt = len(tri_idx) - t0
+                tri_light = np.concatenate([tri_light, np.full(nt, -1, np.int64)])
+                tri_alpha = np.concatenate([tri_alpha, np.full(nt, -1, np.int64)])
+                obj_tri_ranges.append((t0, len(tri_idx)))
+            inst_meta = obj_tri_ranges
+
         scene = {
             "verts": jnp.asarray(verts),
-            "vnorm": jnp.asarray(np.concatenate(self.vnorm)),
-            "vuv": jnp.asarray(np.concatenate(self.vuv)),
-            "tri_idx": jnp.asarray(np.concatenate(self.tri_idx).astype(np.int32)),
-            "tri_mat": jnp.asarray(np.concatenate(self.tri_mat).astype(np.int32)),
-            "tri_light": jnp.asarray(np.concatenate(self.tri_light).astype(np.int32)),
-            "tri_flags": jnp.asarray(np.concatenate(self.tri_flags).astype(np.int32)),
-            "tri_alpha": jnp.asarray(
-                np.concatenate(self.tri_alpha).astype(np.int32)),
+            "vnorm": jnp.asarray(vnorm),
+            "vuv": jnp.asarray(vuv),
+            "tri_idx": jnp.asarray(tri_idx.astype(np.int32)),
+            "tri_mat": jnp.asarray(tri_mat.astype(np.int32)),
+            "tri_light": jnp.asarray(tri_light.astype(np.int32)),
+            "tri_flags": jnp.asarray(tri_flags.astype(np.int32)),
+            "tri_alpha": jnp.asarray(tri_alpha.astype(np.int32)),
         }
 
-        # world bound/radius (Scene::WorldBound)
-        wmin, wmax = verts.min(0), verts.max(0)
+        # world bound/radius (Scene::WorldBound): base world verts ∪ instance
+        # motion bounds (object verts are object-space — excluded directly)
+        wmin, wmax = base_verts.min(0), base_verts.max(0)
+        if self.instances:
+            for ins in self.instances:
+                ob = self.inst_objects[ins["obj"]]
+                if not ob["verts"]:
+                    continue
+                ov = np.concatenate(ob["verts"])
+                omin, omax = ov.min(0), ov.max(0)
+                imin, imax = _motion_bounds(ins["m0"], ins["m1"], omin, omax)
+                wmin = np.minimum(wmin, imin)
+                wmax = np.maximum(wmax, imax)
         scene["world_radius"] = jnp.float32(0.5 * np.linalg.norm(wmax - wmin) + 1e-3)
 
         # ---- materials table
@@ -427,18 +571,89 @@ class SceneBuilder:
             scene["density_grids"] = ()
 
         use_bvh = self.use_bvh if self.use_bvh is not None else n_tris > 64
+        # instanced scenes always use the BVH dispatch: the brute kernels walk
+        # the WHOLE merged tri table, which now contains object-space rows
+        use_bvh = use_bvh or bool(self.instances)
         if use_bvh:
             from .bvh import build_bvh_auto as build_bvh, bvh_to_device
             from ..kernels.bvh_stream import build_stream_table
-            tri_all = np.concatenate(self.tri_idx)
+            tri_base = np.concatenate(self.tri_idx)   # base tris only
             # force_leaf=4: the streaming kernel pays the same for a box step
             # as a tri step, so SAH's split-to-1 (single-ray cost model) loses
-            b_np = build_bvh(verts, tri_all, max_prims=4, force_leaf=4)
+            b_np = build_bvh(verts, tri_base, max_prims=4, force_leaf=4)
             scene["bvh"] = bvh_to_device(b_np)
             scene["bvh"]["stream"] = jnp.asarray(
-                build_stream_table(b_np, verts, tri_all))
+                build_stream_table(b_np, verts, tri_base))
         else:
             scene["bvh"] = None
+
+        # ---- instance table + concatenated BLAS (TransformedPrimitive)
+        if self.instances and any(ob["tri_idx"] for ob in self.inst_objects):
+            from .bvh import build_bvh_auto as build_bvh
+            blas = {k: [] for k in ("bounds_min", "bounds_max", "right",
+                                    "prim_off", "nprims", "axis")}
+            blas_prim_ids = []
+            obj_root = []
+            node_off = 0
+            for oi, (t0, t1) in enumerate(inst_meta):
+                if t1 == t0:
+                    obj_root.append(-1)
+                    continue
+                subset = np.arange(t0, t1)
+                b = build_bvh(verts, tri_idx[t0:t1], max_prims=4, force_leaf=4)
+                obj_root.append(node_off)
+                blas["bounds_min"].append(b["bounds_min"])
+                blas["bounds_max"].append(b["bounds_max"])
+                r = b["right"].copy()
+                r[r >= 0] += node_off
+                blas["right"].append(r)
+                blas["prim_off"].append(
+                    b["prim_off"] + sum(len(p) for p in blas_prim_ids))
+                blas["nprims"].append(b["nprims"])
+                blas["axis"].append(b["axis"])
+                blas_prim_ids.append(subset[b["prim_ids"]])
+                node_off += len(b["bounds_min"])
+            scene["inst"] = {
+                "blas": {
+                    **{k: jnp.asarray(np.concatenate(v))
+                       for k, v in blas.items()},
+                    "prim_ids": jnp.asarray(
+                        np.concatenate(blas_prim_ids).astype(np.int32)),
+                },
+            }
+            self.instances = [i for i in self.instances
+                              if obj_root[i["obj"]] >= 0]
+            I = len(self.instances)
+            pk = {"root": np.zeros(I, np.int32),
+                  "t": np.zeros((I, 2, 3), np.float32),
+                  "q": np.zeros((I, 2, 4), np.float32),
+                  "s": np.zeros((I, 2, 3, 3), np.float32),
+                  "anim": np.zeros(I, np.bool_),
+                  "m0": np.zeros((I, 4, 4), np.float32),
+                  "m0_inv": np.zeros((I, 4, 4), np.float32),
+                  "swap": np.zeros(I, np.bool_),
+                  "wmin": np.zeros((I, 3), np.float32),
+                  "wmax": np.zeros((I, 3), np.float32)}
+            for ii, ins in enumerate(self.instances):
+                p = tr.animated_pack(ins["m0"], ins["m1"])
+                pk["root"][ii] = obj_root[ins["obj"]]
+                pk["t"][ii] = p["t"]
+                pk["q"][ii] = p["q"]
+                pk["s"][ii] = p["s"]
+                pk["anim"][ii] = p["animated"]
+                pk["m0"][ii] = p["m0"]
+                pk["m0_inv"][ii] = tr.inverse(ins["m0"])
+                pk["swap"][ii] = bool(tr.swaps_handedness(ins["m0"]))
+                ob = self.inst_objects[ins["obj"]]
+                ov = np.concatenate(ob["verts"]) if ob["verts"] else \
+                    np.zeros((1, 3), np.float32)
+                pk["wmin"][ii], pk["wmax"][ii] = _motion_bounds(
+                    ins["m0"], ins["m1"], ov.min(0), ov.max(0))
+            scene["inst"].update({k: jnp.asarray(v) for k, v in pk.items()})
+            if I == 0:
+                scene["inst"] = None
+        else:
+            scene["inst"] = None
 
         light_types = tuple(sorted({int(l["type"]) for l in self.lights}))
         meta = SceneMeta(

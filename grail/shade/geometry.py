@@ -19,16 +19,34 @@ REVERSE_ORIENTATION = 8
 XFORM_SWAPS_HANDEDNESS = 16
 
 
-def shading_geometry(scene, hit, ray_o, ray_d):
+def shading_geometry(scene, hit, ray_o, ray_d, time=None):
     """Build the shading record for a batch of hits.
 
     Misses (prim<0) produce garbage-but-finite entries; callers mask by hit.
+    Instanced hits (hit["inst"] >= 0) gather object-space geometry and
+    transform it to world with the instance's interpolated transform at the
+    ray time (pbrt TransformedPrimitive::Intersect's PrimitiveToWorld apply).
     """
     prim = jnp.maximum(hit["prim"], 0)
     idx = scene["tri_idx"][prim]                    # (N,3)
     v0 = scene["verts"][idx[..., 0]]
     v1 = scene["verts"][idx[..., 1]]
     v2 = scene["verts"][idx[..., 2]]
+
+    inst_tbl = scene.get("inst")
+    has_inst = None
+    if inst_tbl is not None and "inst" in hit:
+        from ..kernels.instanced import gather_pack, o2w_point, o2w_normal
+        ii = hit["inst"]
+        has_inst = ii >= 0
+        pk = gather_pack(inst_tbl, jnp.maximum(ii, 0))
+        t_lane = (time if time is not None
+                  else jnp.zeros(ii.shape, jnp.float32))
+        mI = has_inst[..., None]
+        v0 = jnp.where(mI, o2w_point(pk, t_lane, v0), v0)
+        v1 = jnp.where(mI, o2w_point(pk, t_lane, v1), v1)
+        v2 = jnp.where(mI, o2w_point(pk, t_lane, v2), v2)
+
     b1 = hit["b1"][..., None]
     b2 = hit["b2"][..., None]
     b0 = 1.0 - b1 - b2
@@ -41,6 +59,8 @@ def shading_geometry(scene, hit, ray_o, ray_d):
     flags = scene["tri_flags"][prim]
     rev = (flags & REVERSE_ORIENTATION) != 0
     swap = (flags & XFORM_SWAPS_HANDEDNESS) != 0
+    if has_inst is not None:
+        swap = swap ^ (has_inst & inst_tbl["swap"][jnp.maximum(hit["inst"], 0)])
     flip = rev ^ swap
     ng = jnp.where(flip[..., None], -ng, ng)
 
@@ -71,6 +91,10 @@ def shading_geometry(scene, hit, ray_o, ray_d):
     n0 = scene["vnorm"][idx[..., 0]]
     n1 = scene["vnorm"][idx[..., 1]]
     n2 = scene["vnorm"][idx[..., 2]]
+    if has_inst is not None:
+        n0 = jnp.where(mI, o2w_normal(pk, t_lane, n0), n0)
+        n1 = jnp.where(mI, o2w_normal(pk, t_lane, n1), n1)
+        n2 = jnp.where(mI, o2w_normal(pk, t_lane, n2), n2)
     has_ns = ((flags & HAS_NS) != 0)[..., None]
     ns_interp = normalize(b0 * n0 + b1 * n1 + b2 * n2)
     ns_interp = jnp.where(rev[..., None], -ns_interp, ns_interp)

@@ -1,0 +1,36 @@
+"""Regenerate the golden images for tests/test_golden.py (CPU backend, so the
+goldens match what CI renders). Usage:
+    JAX_PLATFORMS=cpu python tests/generate_goldens.py [scene-name ...]
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_golden import SCENES, GOLDEN_DIR, render_scene  # noqa: E402
+
+
+def main():
+    names = sys.argv[1:] or sorted(SCENES)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    from grail.engine.imageio import write_image
+    for name in names:
+        import time
+        t0 = time.time()
+        img = render_scene(name)
+        out = os.path.join(GOLDEN_DIR, name + ".exr")
+        write_image(out, img)
+        print(f"{name}: {img.shape} mean={img.mean():.4f} "
+              f"({time.time() - t0:.1f}s) -> {out}")
+
+
+if __name__ == "__main__":
+    main()
