@@ -51,7 +51,13 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
     b2 = hit["b2"][..., None]
     b0 = 1.0 - b1 - b2
 
-    p = ray_o + hit["t"][..., None] * ray_d
+    # Clamp the miss sentinel (t = 3e37) before forming p: a hit always has
+    # t < 1e7 (the dispatch tmax), but an unclamped miss lane overflows
+    # downstream distance math to inf — masked in the forward pass, yet fatal
+    # in reverse mode (0 cotangent x inf = NaN poisons gradients of every
+    # operand the masked expression shares, e.g. image-texture texels).
+    t_safe = jnp.minimum(hit["t"], 1.0e7)
+    p = ray_o + t_safe[..., None] * ray_d
     e1 = v1 - v0
     e2 = v2 - v0
     ng = normalize(cross(e1, e2))
@@ -96,7 +102,12 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
         n1 = jnp.where(mI, o2w_normal(pk, t_lane, n1), n1)
         n2 = jnp.where(mI, o2w_normal(pk, t_lane, n2), n2)
     has_ns = ((flags & HAS_NS) != 0)[..., None]
-    ns_interp = normalize(b0 * n0 + b1 * n1 + b2 * n2)
+    # guard the no-normals branch: vnorm rows are zeros there, and
+    # normalize(0) = NaN would be masked in the forward pass but poison
+    # reverse-mode grads (0 cotangent x NaN) of everything sharing operands
+    n_sum = b0 * n0 + b1 * n1 + b2 * n2
+    n_sum = jnp.where(has_ns, n_sum, jnp.asarray([0.0, 0.0, 1.0]))
+    ns_interp = normalize(n_sum)
     ns_interp = jnp.where(rev[..., None], -ns_interp, ns_interp)
     ns = jnp.where(has_ns, ns_interp, ng)
     # keep ng on the same side as ns (pbrt GetShadingGeometry Faceforward)
@@ -120,7 +131,7 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
         "dpdv": dpdv,
         "mat": scene["tri_mat"][prim],
         "light": scene["tri_light"][prim],
-        "ray_eps": 1e-3 * hit["t"],   # pbrt Triangle::Intersect rayEpsilon policy
+        "ray_eps": 1e-3 * t_safe,   # pbrt Triangle::Intersect rayEpsilon policy
     }
 
 
