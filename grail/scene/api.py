@@ -642,7 +642,7 @@ class PbrtAPI:
         if self.current_object is not None:
             self.objects[self.current_object].append(
                 (verts, idx, normals, uvs, world_space, self.gs.clone(),
-                 self.ctm.clone()))
+                 self.ctm.clone(), params))
             return
         self._emit_shape(verts, idx, normals, uvs, world_space, self.gs,
                          self.ctm, params)
@@ -687,24 +687,27 @@ class PbrtAPI:
         mat_id = (self._current_material_id(shape_params or ParamSet())
                   if gs is self.gs else
                   self._material_id_for_state(gs, shape_params))
-        # alpha-cutout texture ("texture alpha" / "float alpha", pbrt
-        # trianglemesh.cpp Triangle::Intersect alpha test ~L230)
-        alpha_tex = -1
+        alpha_tex = self._alpha_tex_for(shape_params, gs)
+        b.add_mesh(verts, idx, mat_id, normals=normals, uvs=uvs,
+                   reverse_orientation=gs.reverse_orientation,
+                   swaps_handedness=bool(tr.swaps_handedness(m)),
+                   area_light_emit=emit, n_samples=nsamp,
+                   alpha_tex=alpha_tex)
+
+    def _alpha_tex_for(self, shape_params, gs):
+        """Alpha-cutout texture ("texture alpha" / "float alpha", pbrt
+        trianglemesh.cpp Triangle::Intersect alpha test ~L230); -1 = opaque."""
         sp = shape_params or ParamSet()
         ref = sp.find_texture("alpha")
         if ref is not None:
             alpha_tex = gs.float_textures.get(ref, -1)
             if alpha_tex < 0:
                 log.warning('alpha texture "%s" not found', ref)
-        else:
-            a = sp.find_one_float("alpha", 1.0)
-            if a != 1.0:
-                alpha_tex = b.const_tex((a, a, a))
-        b.add_mesh(verts, idx, mat_id, normals=normals, uvs=uvs,
-                   reverse_orientation=gs.reverse_orientation,
-                   swaps_handedness=bool(tr.swaps_handedness(m)),
-                   area_light_emit=emit, n_samples=nsamp,
-                   alpha_tex=alpha_tex)
+            return alpha_tex
+        a = sp.find_one_float("alpha", 1.0)
+        if a != 1.0:
+            return self.builder.const_tex((a, a, a))
+        return -1
 
     def _material_id_for_state(self, gs, shape_params):
         saved = self.gs
@@ -828,17 +831,19 @@ class PbrtAPI:
         inst_ctm = self.ctm
         total = sum(len(s[1]) for s in shapes)
         if total <= self.INSTANCE_BAKE_MAX:
-            for verts, idx, normals, uvs, world_space, gs, obj_ctm in shapes:
+            for (verts, idx, normals, uvs, world_space, gs, obj_ctm,
+                 shape_params) in shapes:
                 combined = TransformSet()
                 combined.t = [inst_ctm.t[i] @ obj_ctm.t[i] for i in range(2)]
                 self._emit_shape(verts, idx, normals, uvs, world_space, gs,
-                                 combined)
+                                 combined, shape_params)
             return
         b = self.builder
         obj_id = self._tlas_objects.get(name)
         if obj_id is None:
             obj_id = b.add_object()
-            for verts, idx, normals, uvs, world_space, gs, obj_ctm in shapes:
+            for (verts, idx, normals, uvs, world_space, gs, obj_ctm,
+                 shape_params) in shapes:
                 m = obj_ctm.t[0]
                 if obj_ctm.is_animated():
                     log.warning("Animated CTM inside ObjectBegin %r: using the "
@@ -855,9 +860,13 @@ class PbrtAPI:
                     log.warning("Area light inside ObjectInstance %r ignored "
                                 "(pbrt TransformedPrimitive carries no area "
                                 "light)", name)
-                mat_id = self._material_id_for_state(gs, None)
-                b.add_object_mesh(obj_id, ov, idx, mat_id, normals=on, uvs=uvs,
-                                  reverse_orientation=gs.reverse_orientation)
+                mat_id = self._material_id_for_state(gs, shape_params)
+                b.add_object_mesh(
+                    obj_id, ov, idx, mat_id, normals=on, uvs=uvs,
+                    reverse_orientation=gs.reverse_orientation,
+                    swaps_handedness=(not world_space
+                                      and bool(tr.swaps_handedness(m))),
+                    alpha_tex=self._alpha_tex_for(shape_params, gs))
             self._tlas_objects[name] = obj_id
         b.add_instance(obj_id, inst_ctm.t[0].copy(), inst_ctm.t[1].copy())
 

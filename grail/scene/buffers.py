@@ -240,11 +240,12 @@ class SceneBuilder:
         Returns the object id for add_object_mesh/add_instance."""
         self.inst_objects.append({
             "verts": [], "vnorm": [], "vuv": [], "tri_idx": [],
-            "tri_mat": [], "tri_flags": [], "n_verts": 0})
+            "tri_mat": [], "tri_flags": [], "tri_alpha": [], "n_verts": 0})
         return len(self.inst_objects) - 1
 
     def add_object_mesh(self, obj_id, verts, idx, material, normals=None,
-                        uvs=None, reverse_orientation=False):
+                        uvs=None, reverse_orientation=False,
+                        swaps_handedness=False, alpha_tex=-1):
         """Append an OBJECT-SPACE mesh to an instancing bucket. Geometry is
         stored once regardless of instance count (pbrt TransformedPrimitive;
         area lights inside objects are unsupported, as in the reference)."""
@@ -260,6 +261,9 @@ class SceneBuilder:
             flags |= geom.HAS_UV
         if reverse_orientation:
             flags |= geom.REVERSE_ORIENTATION
+        if swaps_handedness:
+            flags |= geom.XFORM_SWAPS_HANDEDNESS
+        ob["tri_alpha"].append(np.full(ntri, alpha_tex, np.int64))
         ob["verts"].append(verts)
         ob["vnorm"].append(np.asarray(normals, np.float32).reshape(-1, 3)
                            if normals is not None
@@ -352,9 +356,13 @@ class SceneBuilder:
 
     # --------------------------------------------------------------------- finalize
     def finalize(self):
+        has_sentinel = False
         if self.instances and sum(len(t) for t in self.tri_idx) == 0:
             # instanced-only scene: every intersect path still wants base
-            # geometry; park one far-away micro-triangle (never hit)
+            # geometry; park one far-away micro-triangle (never hit). It is
+            # excluded from world bounds below — including it overflows
+            # norm(wmax-wmin) to inf, poisoning power-strategy light CDFs.
+            has_sentinel = True
             far = 1.0e30
             self.add_mesh(np.asarray([[far, far, far], [far, far + 1, far],
                                       [far, far, far + 1]], np.float32),
@@ -394,7 +402,10 @@ class SceneBuilder:
                     [tri_flags, np.concatenate(ob["tri_flags"])])
                 nt = len(tri_idx) - t0
                 tri_light = np.concatenate([tri_light, np.full(nt, -1, np.int64)])
-                tri_alpha = np.concatenate([tri_alpha, np.full(nt, -1, np.int64)])
+                # instanced shapes keep their alpha-cutout texture (pbrt
+                # TransformedPrimitive::Intersect defers to the inner shape)
+                tri_alpha = np.concatenate(
+                    [tri_alpha, np.concatenate(ob["tri_alpha"])])
                 obj_tri_ranges.append((t0, len(tri_idx)))
             inst_meta = obj_tri_ranges
 
@@ -411,7 +422,11 @@ class SceneBuilder:
 
         # world bound/radius (Scene::WorldBound): base world verts ∪ instance
         # motion bounds (object verts are object-space — excluded directly)
-        wmin, wmax = base_verts.min(0), base_verts.max(0)
+        if has_sentinel:
+            wmin = np.full(3, np.inf, np.float32)
+            wmax = np.full(3, -np.inf, np.float32)
+        else:
+            wmin, wmax = base_verts.min(0), base_verts.max(0)
         if self.instances:
             for ins in self.instances:
                 ob = self.inst_objects[ins["obj"]]
@@ -422,6 +437,8 @@ class SceneBuilder:
                 imin, imax = _motion_bounds(ins["m0"], ins["m1"], omin, omax)
                 wmin = np.minimum(wmin, imin)
                 wmax = np.maximum(wmax, imax)
+        if not np.all(np.isfinite(wmax - wmin)):   # only empty inst objects
+            wmin, wmax = base_verts.min(0), base_verts.max(0)
         scene["world_radius"] = jnp.float32(0.5 * np.linalg.norm(wmax - wmin) + 1e-3)
 
         # ---- materials table
@@ -673,8 +690,12 @@ class SceneBuilder:
             has_bump=any(bt >= 0 for bt in self.mat_bump),
             bump_rows=tuple(sorted({bt for bt in self.mat_bump if bt >= 0})),
             light_image_rows=tuple(sorted(light_image_rows.items())),
-            alpha_rows=tuple(sorted({int(a) for arr in self.tri_alpha
-                                     for a in np.unique(arr) if a >= 0})),
+            alpha_rows=tuple(sorted(
+                {int(a) for arr in self.tri_alpha
+                 for a in np.unique(arr) if a >= 0}
+                | {int(a) for ob in self.inst_objects
+                   for arr in ob["tri_alpha"]
+                   for a in np.unique(arr) if a >= 0})),
             crop=tuple(float(c) for c in self.crop),
         )
         return scene, meta
