@@ -145,6 +145,8 @@ def scene_intersect(scene, meta, o, d, tmax, tmin=None, time=None):
     cut = (hit["prim"] >= 0) & (a <= 0.0)
     out["t"] = jnp.where(cut, isect.BIG_T, hit["t"])
     out["prim"] = jnp.where(cut, -1, hit["prim"])
+    if "inst" in out:   # don't leave a phantom instance id on a rejected hit
+        out["inst"] = jnp.where(cut, -1, hit["inst"])
     return out
 
 
@@ -554,7 +556,7 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
     # compaction split point: the iteration after the first Russian roulette
     k = min(cfg.rr_depth + 1, max_depth + 1)
     cap = (int(n * cfg.compact_frac) // 1024) * 1024
-    use_compact = (cfg.compact and cfg.kind == "path" and not with_stats
+    use_compact = (cfg.compact and cfg.kind == "path"
                    and n >= cfg.compact_min and k < max_depth + 1
                    and cap >= 1024)
     if not use_compact:
@@ -565,7 +567,11 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
         state = jax.lax.fori_loop(0, max_depth + 1, body, state)
         return state[2] * rays["weight"][..., None]
 
-    state = jax.lax.fori_loop(0, k, body, state)
+    if with_stats:
+        # the probe measures the SAME compacted program production runs
+        state, occ = jax.lax.fori_loop(0, k, body_occ, (state, occ))
+    else:
+        state = jax.lax.fori_loop(0, k, body, state)
     o1, d1, L1, thr1, act1, spec1 = state
     take, count = _compaction_take(act1, cap)
 
@@ -577,16 +583,32 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
         sub_time = None if time is None else time[gidx]
         sub_body = _make_bounce_body(scene, meta, cfg, pix[gidx], samp[gidx],
                                      None, cap, vpls, has_media, time=sub_time)
-        sub_state = jax.lax.fori_loop(k, max_depth + 1, sub_body, sub_state)
+        if with_stats:
+            def sub_occ(b, carry):
+                st, oc = carry
+                oc = oc.at[b].set(jnp.sum(st[4].astype(jnp.float32)))
+                return sub_body(b, st), oc
+            sub_state, oc = jax.lax.fori_loop(k, max_depth + 1, sub_occ,
+                                              (sub_state, occ))
+        else:
+            sub_state = jax.lax.fori_loop(k, max_depth + 1, sub_body,
+                                          sub_state)
+            oc = occ
         # dead take entries are index n → dropped by the scatter, so a live
         # lane aliased by the gather clip can never be overwritten
-        return L1.at[take].set(sub_state[2], mode="drop")
+        return L1.at[take].set(sub_state[2], mode="drop"), oc
 
     def full_width(_):
-        st = jax.lax.fori_loop(k, max_depth + 1, body, state)
-        return st[2]
+        if with_stats:
+            st, oc = jax.lax.fori_loop(k, max_depth + 1, body_occ,
+                                       (state, occ))
+            return st[2], oc
+        return jax.lax.fori_loop(k, max_depth + 1, body, state)[2], occ
 
-    L = jax.lax.cond(count <= cap, compacted, full_width, None)
+    if with_stats:
+        L, occ = jax.lax.cond(count <= cap, compacted, full_width, None)
+        return L * rays["weight"][..., None], occ
+    L, _ = jax.lax.cond(count <= cap, compacted, full_width, None)
     return L * rays["weight"][..., None]
 
 
