@@ -1,5 +1,12 @@
-"""Device renderer vs independent NumPy oracle (different RNG + estimator;
-expectations must agree within MC error) — SURVEY §4 oracle strategy."""
+"""Device renderer vs independent NumPy oracles — SURVEY §4 oracle strategy.
+
+Two strengths of oracle:
+* oracle.py — different RNG + different estimator; expectations must agree
+  within MC error (statistical).
+* oracle_path.py — the full path estimator on the MATCHED counter-based
+  sample stream; radiance must agree PER (pixel, sample) up to f32-vs-f64
+  arithmetic noise (deterministic).
+"""
 import numpy as np
 import pytest
 
@@ -35,3 +42,75 @@ def test_direct_lighting_matches_numpy_oracle():
         f"median rel diff {np.median(rel[mask]):.3f}\ndev:\n{bd[...,0]}\n"
         f"ref:\n{br[...,0]}")
     assert (rel[mask] < 0.35).mean() > 0.9
+
+
+def test_rng_matches_numpy_bitwise():
+    """The NumPy mirror of the counter-based sampler is bit-identical to the
+    device generator (ZERO_TWO) for 1D and 2D draws across dims."""
+    import jax.numpy as jnp
+    from grail.core import rng as rngmod
+    from tests.oracle import oracle_path as op
+
+    cfg = rngmod.SamplerConfig(kind=rngmod.ZERO_TWO, spp=16, seed=0)
+    pix = np.arange(512, dtype=np.uint32) * 97
+    samp = (np.arange(512, dtype=np.uint32) * 13) % 64
+    for dim in (0, 1, 4, 13, 44):
+        dev = np.asarray(rngmod.sample_1d(cfg, jnp.asarray(pix),
+                                          jnp.asarray(samp), dim))
+        ref = op.sample_1d(pix, samp, dim)
+        assert (dev == ref).all(), f"sample_1d dim {dim}"
+        d0, d1 = rngmod.sample_2d(cfg, jnp.asarray(pix), jnp.asarray(samp),
+                                  dim)
+        r0, r1 = op.sample_2d(pix, samp, dim)
+        assert (np.asarray(d0) == r0).all(), f"sample_2d.u0 dim {dim}"
+        assert (np.asarray(d1) == r1).all(), f"sample_2d.u1 dim {dim}"
+
+
+def test_path_matches_oracle_per_sample():
+    """Full path estimator (MIS + RR + specular flags) vs the matched-RNG
+    NumPy oracle, compared PER (pixel, sample): the sample streams are
+    bitwise identical, so differences come only from f32-vs-f64 arithmetic.
+    Quantile-based assertion tolerates the rare lane where a float32 boundary
+    comparison (e.g. an RR threshold) flips a discrete decision."""
+    import jax
+    import jax.numpy as jnp
+    from grail.engine import camera as cam
+    from grail.engine.integrator import li, SLOT_FILM, SLOT_LENS, SLOT_TIME
+    from grail.core import rng as rngmod
+    from tests.oracle import oracle_path as op
+
+    xres = yres = 24
+    spp = 6
+    scene, meta, b = cornell_box(xres=xres, yres=yres, spp=spp)
+    cfg = IntegratorConfig(kind="path", max_depth=5, compact=False)
+
+    n_pix = xres * yres
+    pix = np.tile(np.arange(n_pix, dtype=np.uint32), spp)
+    samp = np.repeat(np.arange(spp, dtype=np.uint32), n_pix)
+
+    @jax.jit
+    def device_li(pix, samp):
+        px = (pix % meta.xres).astype(jnp.int32)
+        py = (pix // meta.xres).astype(jnp.int32)
+        ufx, ufy = rngmod.sample_2d(meta.sampler, pix, samp, SLOT_FILM)
+        ul1, ul2 = rngmod.sample_2d(meta.sampler, pix, samp, SLOT_LENS)
+        ut = rngmod.sample_1d(meta.sampler, pix, samp, SLOT_TIME)
+        rays = cam.generate_rays(scene["camera"], px, py, ufx, ufy, ul1, ul2,
+                                 ut, meta.cam_kind)
+        return li(scene, meta, cfg, rays, pix, samp)
+
+    L_dev = np.asarray(device_li(jnp.asarray(pix), jnp.asarray(samp)),
+                       np.float64)
+    sc = op.extract(scene, meta, b)
+    L_ref = op.path_radiance(sc, pix, samp, xres, max_depth=cfg.max_depth,
+                             rr_depth=cfg.rr_depth)
+
+    diff = np.abs(L_dev - L_ref).max(axis=-1)
+    scale = np.maximum(1.0, np.abs(L_ref).max(axis=-1))
+    rel = diff / scale
+    # the overwhelming majority of samples must match to float32 noise
+    assert np.quantile(rel, 0.95) < 2e-5, np.quantile(rel, 0.95)
+    assert np.quantile(rel, 0.999) < 1e-2, np.quantile(rel, 0.999)
+    assert (rel < 1e-4).mean() > 0.97
+    # and the means agree tightly (no systematic estimator divergence)
+    assert abs(L_dev.mean() - L_ref.mean()) / L_ref.mean() < 2e-3
