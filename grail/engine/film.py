@@ -144,6 +144,63 @@ def add_samples_grid(film, fcfg: flt.FilterConfig, sx, sy, L, chunk,
     return {"rgb": rgb, "weight": wsum, "splat": film["splat"]}
 
 
+def add_samples_band(film, fcfg: flt.FilterConfig, sx, sy, L, y0, margin,
+                     weight=None, tiled=False):
+    # y0 is accepted for signature clarity but unused: lane->band-row mapping
+    # is positional; sx/sy arrive in global raster coords for filter weights.
+    """Dense AddSample for a device-local horizontal film band (the sharded
+    render's fast path — SURVEY §2.7 TPU equiv: tile-local accumulation, one
+    cross-chip reduce at develop).
+
+    film: {"rgb": (R+2*margin, W, 3), "weight": (R+2*margin, W), ...} — a
+    band of R pixel rows plus `margin` filter-spill rows on each side. Lanes
+    are the band's full pixel grid (R*W, raster or 8x16-tile order); sx, sy
+    are GLOBAL raster sample coords; y0 is the band's first global row
+    (traced — each device passes its own offset). Filter taps landing up to
+    `margin` rows outside the band accumulate into the spill rows; devices
+    place overlapping bands into the padded global film and psum, so spill
+    adds exactly once. Requires floor(ywidth + 0.5) <= margin."""
+    rows = film["weight"].shape[0] - 2 * margin
+    xres = film["weight"].shape[1]
+    dimx = sx - 0.5
+    dimy = sy - 0.5
+    px = jnp.floor(sx)
+    py = jnp.floor(sy)
+    rx = int(math.floor(fcfg.xwidth + 0.5))
+    ry = int(math.floor(fcfg.ywidth + 0.5))
+    assert ry <= margin, "filter y-extent exceeds band margin"
+    if weight is None:
+        weight = jnp.ones(sx.shape, jnp.float32)
+
+    def to_band(x):
+        if tiled:
+            return _untile(x, rows, xres)
+        return x.reshape(rows, xres, *x.shape[1:])
+
+    def pad_rows(x):
+        return jnp.pad(x, ((margin, margin),) + ((0, 0),) * (x.ndim - 1))
+
+    rgb = film["rgb"]
+    wsum = film["weight"]
+    for dy in range(-ry, ry + 1):
+        for dx in range(-rx, rx + 1):
+            w = flt.evaluate(fcfg, px + dx - dimx, py + dy - dimy) * weight
+            wl = pad_rows(to_band(w[..., None] * L))
+            ws = pad_rows(to_band(w))
+            rgb = rgb + _shift2d(wl, dy, dx)
+            wsum = wsum + _shift2d(ws, dy, dx)
+    del y0  # sx/sy arrive global, but lane->band-row mapping is positional
+    return {"rgb": rgb, "weight": wsum, "splat": film["splat"]}
+
+
+def new_band_film(rows, xres, margin):
+    return {
+        "rgb": jnp.zeros((rows + 2 * margin, xres, 3), jnp.float32),
+        "weight": jnp.zeros((rows + 2 * margin, xres), jnp.float32),
+        "splat": jnp.zeros((rows + 2 * margin, xres, 3), jnp.float32),
+    }
+
+
 def splat(film, sx, sy, L):
     """ImageFilm::Splat — unweighted scatter (Metropolis, light tracing)."""
     yres, xres = film["weight"].shape

@@ -21,7 +21,7 @@ from .integrator import IntegratorConfig, li, SLOT_FILM, SLOT_LENS, SLOT_TIME
 
 
 def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
-                aux=None, grid_chunk=None, tiled=False):
+                aux=None, grid_chunk=None, tiled=False, band=None):
     """One sample-per-pixel wave: raygen → Li → film accumulate.
 
     pix: optional (N,) pixel ids to render (defaults to all); samp_idx scalar.
@@ -30,6 +30,9 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
     aux: integrator preprocessing output (photon map, SH probes...).
     grid_chunk: static int when pix is the full pixel grid tiled grid_chunk
     times (lane i ↔ pixel i % npix) — enables the dense film path.
+    band: static (margin, band_tiled) when `film` is a device-local band
+    (film.add_samples_band) and pix is the band's full pixel grid — the
+    sharded render's dense film path (no scatters).
     """
     if pix is None:
         lane = jnp.arange(meta.xres * meta.yres, dtype=jnp.uint32)
@@ -94,6 +97,10 @@ def render_wave(scene, meta, cfg, film, samp_idx, pix=None, mask=None,
     sx = px.astype(jnp.float32) + ufx
     sy = py.astype(jnp.float32) + ufy
     w = None if mask is None else mask.astype(jnp.float32)
+    if band is not None:
+        margin, band_tiled = band
+        return flm.add_samples_band(film, meta.filter, sx, sy, L, None,
+                                    margin, weight=w, tiled=band_tiled)
     if grid_chunk is not None:
         return flm.add_samples_grid(film, meta.filter, sx, sy, L, grid_chunk,
                                     weight=w, tiled=tiled)
