@@ -494,6 +494,16 @@ class SceneBuilder:
             "world_dir": np.zeros((L, 3), np.float32),
             "area": np.ones(L, np.float32),
             "atri": np.zeros((L, at_max), np.int32),
+            # pre-gathered light-triangle geometry: area-light sampling reads
+            # these instead of the global mesh (same values bitwise), which
+            # keeps Sample_L independent of the big vertex arrays — required
+            # by the P6 scene-sharded (ring) mode where no device holds the
+            # whole mesh, and a cheap win everywhere else (3 flat gathers of
+            # a tiny table instead of 4 into mesh-sized ones)
+            "av0": np.zeros((L, at_max, 3), np.float32),
+            "av1": np.zeros((L, at_max, 3), np.float32),
+            "av2": np.zeros((L, at_max, 3), np.float32),
+            "aflip": np.zeros((L, at_max), np.int32),
             "acdf": np.tile(np.linspace(0, 1, at_max + 1, dtype=np.float32), (L, 1)),
             "n_samples": np.ones(L, np.int32),
             "proj": np.tile(tr.identity(), (L, 1, 1)),
@@ -516,6 +526,15 @@ class SceneBuilder:
                 total = float(areas.sum())
                 larr["area"][i] = total
                 larr["atri"][i, :len(tris)] = tris
+                tarr = np.asarray(tris, np.int64)
+                i0 = tri_idx[tarr]
+                larr["av0"][i, :len(tris)] = verts[i0[:, 0]]
+                larr["av1"][i, :len(tris)] = verts[i0[:, 1]]
+                larr["av2"][i, :len(tris)] = verts[i0[:, 2]]
+                fl = tri_flags[tarr]
+                larr["aflip"][i, :len(tris)] = (
+                    ((fl & geom.REVERSE_ORIENTATION) != 0)
+                    ^ ((fl & geom.XFORM_SWAPS_HANDEDNESS) != 0)).astype(np.int32)
                 cdf = np.concatenate([[0.0], np.cumsum(areas) / max(total, 1e-12)])
                 larr["acdf"][i, :len(cdf)] = cdf.astype(np.float32)
                 larr["acdf"][i, len(cdf):] = 1.0
@@ -593,14 +612,25 @@ class SceneBuilder:
         use_bvh = use_bvh or bool(self.instances)
         if use_bvh:
             from .bvh import build_bvh_auto as build_bvh, bvh_to_device
-            from ..kernels.bvh_stream import build_stream_table
+            from ..kernels.bvh_stream import (build_stream_table,
+                                              build_clustered_stream,
+                                              VMEM_TABLE_BUDGET,
+                                              CLUSTER_TARGET_TRIS)
             tri_base = np.concatenate(self.tri_idx)   # base tris only
             # force_leaf=4: the streaming kernel pays the same for a box step
             # as a tri step, so SAH's split-to-1 (single-ray cost model) loses
             b_np = build_bvh(verts, tri_base, max_prims=4, force_leaf=4)
             scene["bvh"] = bvh_to_device(b_np)
-            scene["bvh"]["stream"] = jnp.asarray(
-                build_stream_table(b_np, verts, tri_base))
+            n_rec = int((b_np["nprims"] == 0).sum()) + len(tri_base)
+            stream_bytes = -(-n_rec // 8) * 128 * 4
+            if stream_bytes < VMEM_TABLE_BUDGET:
+                scene["bvh"]["stream"] = jnp.asarray(
+                    build_stream_table(b_np, verts, tri_base))
+            else:
+                # beyond the VMEM wall: clustered tables, one launch per
+                # spatial cluster (SURVEY §5.7 / BASELINE config 4)
+                scene["bvh"]["cstream"] = jnp.asarray(build_clustered_stream(
+                    verts, tri_base, build_bvh, CLUSTER_TARGET_TRIS))
         else:
             scene["bvh"] = None
 

@@ -102,18 +102,18 @@ def _area_sample(scene, li, p, u1, u2, u3):
     lights = scene["lights"]
     # flat-gather row search: never materializes per-lane (N, AT+1) CDF rows
     tri_slot = mc.searchsorted_rows(lights["acdf"], li, u3)      # (N,)
-    tri = mc.gather_rows(lights["atri"], li, tri_slot)           # global tri index
-    idx = scene["tri_idx"][tri]
-    v0 = scene["verts"][idx[..., 0]]
-    v1 = scene["verts"][idx[..., 1]]
-    v2 = scene["verts"][idx[..., 2]]
+    # pre-gathered light-triangle geometry (lights["av0"/"av1"/"av2"/"aflip"])
+    # — identical values to gathering the mesh, but independent of the global
+    # vertex arrays (P6 scene-sharded mode holds no full mesh on any device)
+    at = lights["av0"].shape[1]
+    flat = li * at + tri_slot
+    v0 = lights["av0"].reshape(-1, 3)[flat]
+    v1 = lights["av1"].reshape(-1, 3)[flat]
+    v2 = lights["av2"].reshape(-1, 3)[flat]
     b0, b1 = mc.uniform_sample_triangle(u1, u2)
     pl = b0[..., None] * v0 + b1[..., None] * v1 + (1.0 - b0 - b1)[..., None] * v2
     n_l = normalize(cross(v1 - v0, v2 - v0))
-    # orientation flags of the light's triangles
-    from .geometry import REVERSE_ORIENTATION, XFORM_SWAPS_HANDEDNESS
-    flags = scene["tri_flags"][tri]
-    flip = ((flags & REVERSE_ORIENTATION) != 0) ^ ((flags & XFORM_SWAPS_HANDEDNESS) != 0)
+    flip = lights["aflip"].reshape(-1)[flat] != 0
     n_l = jnp.where(flip[..., None], -n_l, n_l)
 
     vec = pl - p
