@@ -181,6 +181,64 @@ def render_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh, film=None,
     return flm.develop(film), film
 
 
+def render_scene_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh,
+                         film=None):
+    """P6 scene sharding (SURVEY §2.10 P6 / §5.7): triangles partitioned
+    spatially across the mesh — no device holds the whole mesh — with pixel
+    rows sharded over the SAME axis. Every traversal inside the bounce loop
+    ring-passes the resident ray queue with ppermute (dist/scene_shard.py);
+    shading runs from the carried per-hit triangle record; area lights sample
+    the compact light-tri table. The image is bitwise identical to the
+    replicated render (same counter-based RNG, same Möller-Trumbore, ties
+    broken by global id).
+
+    Prefer this over the replicated `render_sharded` ONLY when the scene
+    exceeds one chip's HBM (geometry memory per device is O(T/n_dev) here,
+    but every device does a full pass over the ray queue per shard — the
+    replicated path is faster whenever the scene fits)."""
+    from .scene_shard import partition_scene
+    if film is None:
+        film = flm.new_film(meta.xres, meta.yres)
+    if scene.get("inst") is not None or scene.get("media") is not None \
+            or getattr(meta, "alpha_rows", ()):
+        raise NotImplementedError(
+            "ring mode supports plain triangle scenes (no instances/media/"
+            "alpha) — use render_sharded")
+    import dataclasses
+    # wavefront compaction branches on a per-device lane count; its two cond
+    # branches would execute DIFFERENT ppermute sequences per device in ring
+    # mode (collective mismatch) — disable it here
+    cfg = dataclasses.replace(cfg, compact=False)
+    n_dev = mesh.devices.size
+    ring = partition_scene(scene, n_dev)
+    mesh_keys = ("verts", "vnorm", "vuv", "tri_idx", "tri_mat", "tri_light",
+                 "tri_flags", "tri_alpha", "bvh")
+    base = {k: v for k, v in scene.items() if k not in mesh_keys}
+    base["ring"] = ring
+    pix, valid, rows, margin, tiled = _band_pixels(meta, n_dev)
+
+    def shard_fn(scene_rep, ring_shard, film, pix_shard, valid_shard):
+        local = dict(scene_rep)
+        local["ring"] = {k: v[0] for k, v in ring_shard.items()}
+
+        def body(s, band):
+            return render_wave(local, meta, cfg, band, jnp.uint32(s),
+                               pix=pix_shard, mask=valid_shard,
+                               band=(margin, tiled))
+        band = jax.lax.fori_loop(
+            0, spp, body, flm.new_band_film(rows, meta.xres, margin))
+        return _band_to_film(band, film, rows, margin, n_dev)
+
+    scene_rep = {k: v for k, v in base.items() if k != "ring"}
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("dev"), P(), P("dev"), P("dev")),
+        out_specs=P(), check_vma=False,
+    )
+    film = jax.jit(fn)(scene_rep, ring, film, pix, valid)
+    return flm.develop(film), film
+
+
 def _preprocess_aux(scene, meta, cfg):
     """Integrator preprocessing (photon shooting, VPLs, probes, dipole) —
     runs replicated before the sharded dispatch (P3: the shoot itself is a

@@ -298,8 +298,9 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
         if lt.AREA in meta.light_types:
             # hit the chosen area light?
             hit_prim = jnp.maximum(hit2["prim"], 0)
-            hit_is_chosen = (hit2["prim"] >= 0) & \
-                (scene["tri_light"][hit_prim] == light_idx)
+            hit_light_id = (hit2["tri"]["light"] if "tri" in hit2
+                            else scene["tri_light"][hit_prim])
+            hit_is_chosen = (hit2["prim"] >= 0) & (hit_light_id == light_idx)
             hg2 = geom.hit_geometric(scene, hit2)
             cos_at_light = dot(hg2["ng"], -wi_w)
             lp = lt.area_light_pdf_dir(scene, light_idx, p, wi_w,

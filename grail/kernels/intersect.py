@@ -106,53 +106,63 @@ def _brute_pallas(scene, o, d, tmax, tmin):
     return {"t": jnp.where(hit, t, BIG_T), "prim": prim, "b1": b1, "b2": b2}
 
 
-def _morton3(x):
-    """30-bit Morton code of points in [0,1)^3 (ray-sorting key)."""
-    def expand(v):
-        v = v.astype(jnp.uint32)
-        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
-        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
-        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
-        v = (v | (v << 2)) & jnp.uint32(0x09249249)
-        return v
-    q = jnp.clip(x * 1024.0, 0.0, 1023.0)
-    return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
-
-
-def _ray_sort_key(scene, o, d):
-    """Coherence sort key: direction octant | coarse origin Morton | direction
-    Morton. The direction bits matter for pinhole cameras where every origin
-    is identical — they turn raster-row ray order into square image tiles,
-    which is what keeps a 128-ray sub-packet's BVH working set small (the
-    wavefront re-packing from SURVEY §2.10 P1)."""
-    bmin = jnp.min(scene["verts"], axis=0)
-    bmax = jnp.max(scene["verts"], axis=0)
-    tn = (o - bmin) / jnp.maximum(bmax - bmin, 1e-9)
-    octant = (((d[:, 0] >= 0).astype(jnp.uint32) << 2)
-              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
-              | (d[:, 2] >= 0).astype(jnp.uint32))
-    mo = _morton3(tn)                       # 30-bit origin Morton
-    md = _morton3(d * 0.5 + 0.5)            # 30-bit direction Morton
-    return (octant << 29) | ((mo >> 15) << 14) | (md >> 16)
-
-
 def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
-    """Pallas ordered sub-packet streaming traversal.
+    """Pallas ordered sub-packet streaming traversal, with ray re-binning.
 
-    sort: dynamically argsort rays by _ray_sort_key before traversal. Off by
-    default: XLA's 1M-key argsort costs ~140 ms on this chip — far more than
-    it saves — and the render pipeline already emits waves in a static 8x16
-    pixel-tile order (engine/film.py lane_pixel) that secondary rays inherit.
-    GRAIL_SORT_RAYS=1 forces it on for externally-ordered ray batches."""
+    sort: counting-sort rays into (octant | origin Morton | direction Morton)
+    buckets before traversal (kernels/binning.py) so each 128-ray sub-packet
+    has a compact BVH working set. On by default for batches >= 8192: the
+    sort is a few ms per Mray while incoherent traversal without it is ~30x
+    slower than coherent (measured round 3 — secondary/shadow rays are the
+    majority of a path render's traversals). Dead lanes (tmax<=tmin, the
+    integrator's mask encoding) sort into a trailing bucket, which compacts
+    idle wavefront lanes out of live sub-packets. GRAIL_SORT_RAYS=0 disables.
+    """
     import os
-    if sort is None:
-        sort = os.environ.get("GRAIL_SORT_RAYS", "0") == "1"
+    if os.environ.get("GRAIL_SORT_RAYS", "") == "0":
+        sort = False
     from .bvh_stream import bvh_stream_intersect, bvh_stream_intersect_p
     from .pallas_intersect import pack_tris
     n = o.shape[0]
+    if sort is None:
+        sort = n >= 8192
     if tmin is None:
         tmin = jnp.zeros((n,), jnp.float32)
-    table = scene["bvh"]["stream"]
+    bvh = scene["bvh"]
+    tris9 = pack_tris(scene)
+
+    def closest(o, d, tmin, tmax):
+        if "cstream" in bvh:
+            # clustered tables (scene > VMEM): one launch per cluster,
+            # min-(t, prim) merge, later clusters culled by the tightened t
+            C = bvh["cstream"].shape[0]
+            t = jnp.full_like(tmax, BIG_T)
+            prim = jnp.full(tmax.shape, -1, jnp.int32)
+            b1 = jnp.zeros_like(tmax)
+            b2 = jnp.zeros_like(tmax)
+            for c in range(C):
+                cut = jnp.minimum(tmax, jax.lax.stop_gradient(t))
+                tc, pc, b1c, b2c = bvh_stream_intersect(
+                    bvh["cstream"][c], tris9, o, d, tmin, cut)
+                closer = (pc >= 0) & (tc < t)
+                t = jnp.where(closer, tc, t)
+                prim = jnp.where(closer, pc, prim)
+                b1 = jnp.where(closer, b1c, b1)
+                b2 = jnp.where(closer, b2c, b2)
+            return t, prim, b1, b2
+        return bvh_stream_intersect(bvh["stream"], tris9, o, d, tmin, tmax)
+
+    def anyhit(o, d, tmin, tmax):
+        if "cstream" in bvh:
+            C = bvh["cstream"].shape[0]
+            occ = jnp.zeros(tmax.shape, jnp.bool_)
+            for c in range(C):
+                tmax_c = jnp.where(occ, jnp.float32(-3.0e37), tmax)
+                occ = occ | bvh_stream_intersect_p(
+                    bvh["cstream"][c], o, d, tmin, tmax_c)
+            return occ
+        return bvh_stream_intersect_p(bvh["stream"], o, d, tmin, tmax)
+
     # integrator stages mask inactive lanes with tmax=0 — make those lanes
     # fully inert (no slab test can pass with tmin=+BIG) so they never drive
     # sub-packet traversal; without this a dead lane whose origin is inside
@@ -160,23 +170,24 @@ def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
     dead = tmax <= tmin
     tmin = jnp.where(dead, jnp.float32(3.0e37), tmin)
     tmax = jnp.where(dead, jnp.float32(-3.0e37), tmax)
-    if sort and n >= 2048:
-        order = jnp.argsort(_ray_sort_key(scene, o, d))
-        o_s, d_s = o[order], d[order]
-        tmin_s, tmax_s = tmin[order], tmax[order]
+    if sort:
+        from .binning import (bin_rays_key, bucket_rank, sort_by_rank,
+                              unsort, N_RAY_BUCKETS)
+        bmin = jnp.min(scene["verts"], axis=0)
+        bmax = jnp.max(scene["verts"], axis=0)
+        key = bin_rays_key(o, d, bmin, bmax)
+        key = jnp.where(dead, N_RAY_BUCKETS, key)     # dead lanes go last
+        rank = bucket_rank(key, N_RAY_BUCKETS + 1)
+        o_s, d_s, tmin_s, tmax_s = sort_by_rank(rank, o, d, tmin, tmax)
         if any_hit:
-            occ = bvh_stream_intersect_p(table, o_s, d_s, tmin_s, tmax_s)
-            return {"occluded": occ[jnp.argsort(order)]}
-        t, prim, b1, b2 = bvh_stream_intersect(
-            table, pack_tris(scene), o_s, d_s, tmin_s, tmax_s)
-        inv = jnp.argsort(order)
-        t, prim, b1, b2 = t[inv], prim[inv], b1[inv], b2[inv]
+            return {"occluded": unsort(rank, anyhit(o_s, d_s, tmin_s,
+                                                    tmax_s))[0]}
+        t, prim, b1, b2 = closest(o_s, d_s, tmin_s, tmax_s)
+        t, prim, b1, b2 = unsort(rank, t, prim, b1, b2)
     else:
         if any_hit:
-            return {"occluded": bvh_stream_intersect_p(table, o, d, tmin,
-                                                       tmax)}
-        t, prim, b1, b2 = bvh_stream_intersect(
-            table, pack_tris(scene), o, d, tmin, tmax)
+            return {"occluded": anyhit(o, d, tmin, tmax)}
+        t, prim, b1, b2 = closest(o, d, tmin, tmax)
     hit = prim >= 0
     return {"t": jnp.where(hit, t, BIG_T), "prim": prim, "b1": b1, "b2": b2}
 
@@ -184,6 +195,9 @@ def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
 def _use_stream(scene):
     if not _pallas_ok():
         return False
+    bvh = scene.get("bvh")
+    if bvh is not None and "cstream" in bvh:
+        return True
     from .bvh_stream import stream_fits_vmem
     return stream_fits_vmem(scene)
 
@@ -205,7 +219,12 @@ def intersect(scene, o, d, tmax, tmin=None, use_bvh=None, time=None):
     """Scene intersection dispatch (Scene::Intersect analog).
 
     time (N,): ray times for animated instance transforms (None ⇒ shutter
-    open). Scenes with instances return an extra hit field "inst"."""
+    open). Scenes with instances return an extra hit field "inst". Scenes
+    with a "ring" shard table (P6 scene sharding, dist/scene_shard.py)
+    traverse the device ring instead — must be running inside shard_map."""
+    if scene.get("ring") is not None:
+        from ..dist.scene_shard import ring_intersect
+        return ring_intersect(scene["ring"], o, d, tmax, tmin)
     hit = _base_intersect(scene, o, d, tmax, tmin, use_bvh)
     if scene.get("inst") is not None:
         from .instanced import instances_intersect
@@ -221,6 +240,10 @@ def intersect(scene, o, d, tmax, tmin=None, use_bvh=None, time=None):
 
 def intersect_p(scene, o, d, tmax, tmin=None, use_bvh=None, time=None):
     """Occlusion test dispatch (Scene::IntersectP analog)."""
+    if scene.get("ring") is not None:
+        from ..dist.scene_shard import ring_intersect
+        return ring_intersect(scene["ring"], o, d, tmax, tmin,
+                              any_hit=True)["occluded"]
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:

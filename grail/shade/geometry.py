@@ -28,24 +28,50 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
     ray time (pbrt TransformedPrimitive::Intersect's PrimitiveToWorld apply).
     """
     prim = jnp.maximum(hit["prim"], 0)
-    idx = scene["tri_idx"][prim]                    # (N,3)
-    v0 = scene["verts"][idx[..., 0]]
-    v1 = scene["verts"][idx[..., 1]]
-    v2 = scene["verts"][idx[..., 2]]
-
-    inst_tbl = scene.get("inst")
     has_inst = None
-    if inst_tbl is not None and "inst" in hit:
-        from ..kernels.instanced import gather_pack, o2w_point, o2w_normal
-        ii = hit["inst"]
-        has_inst = ii >= 0
-        pk = gather_pack(inst_tbl, jnp.maximum(ii, 0))
-        t_lane = (time if time is not None
-                  else jnp.zeros(ii.shape, jnp.float32))
-        mI = has_inst[..., None]
-        v0 = jnp.where(mI, o2w_point(pk, t_lane, v0), v0)
-        v1 = jnp.where(mI, o2w_point(pk, t_lane, v1), v1)
-        v2 = jnp.where(mI, o2w_point(pk, t_lane, v2), v2)
+    if "tri" in hit:
+        # P6 ring mode (dist/scene_shard.py): the winning shard carried the
+        # triangle's full attribute record — no global mesh gathers
+        tri = hit["tri"]
+        e1, e2 = tri["e1"], tri["e2"]
+        n0, n1, n2 = tri["n0"], tri["n1"], tri["n2"]
+        uv0, uv1, uv2 = tri["uv0"], tri["uv1"], tri["uv2"]
+        flags = tri["flags"]
+        mat_id = tri["mat"]
+        light_id = tri["light"]
+    else:
+        idx = scene["tri_idx"][prim]                    # (N,3)
+        v0 = scene["verts"][idx[..., 0]]
+        v1 = scene["verts"][idx[..., 1]]
+        v2 = scene["verts"][idx[..., 2]]
+
+        inst_tbl = scene.get("inst")
+        if inst_tbl is not None and "inst" in hit:
+            from ..kernels.instanced import gather_pack, o2w_point, o2w_normal
+            ii = hit["inst"]
+            has_inst = ii >= 0
+            pk = gather_pack(inst_tbl, jnp.maximum(ii, 0))
+            t_lane = (time if time is not None
+                      else jnp.zeros(ii.shape, jnp.float32))
+            mI = has_inst[..., None]
+            v0 = jnp.where(mI, o2w_point(pk, t_lane, v0), v0)
+            v1 = jnp.where(mI, o2w_point(pk, t_lane, v1), v1)
+            v2 = jnp.where(mI, o2w_point(pk, t_lane, v2), v2)
+        e1 = v1 - v0
+        e2 = v2 - v0
+        n0 = scene["vnorm"][idx[..., 0]]
+        n1 = scene["vnorm"][idx[..., 1]]
+        n2 = scene["vnorm"][idx[..., 2]]
+        if has_inst is not None:
+            n0 = jnp.where(mI, o2w_normal(pk, t_lane, n0), n0)
+            n1 = jnp.where(mI, o2w_normal(pk, t_lane, n1), n1)
+            n2 = jnp.where(mI, o2w_normal(pk, t_lane, n2), n2)
+        uv0 = scene["vuv"][idx[..., 0]]
+        uv1 = scene["vuv"][idx[..., 1]]
+        uv2 = scene["vuv"][idx[..., 2]]
+        flags = scene["tri_flags"][prim]
+        mat_id = scene["tri_mat"][prim]
+        light_id = scene["tri_light"][prim]
 
     b1 = hit["b1"][..., None]
     b2 = hit["b2"][..., None]
@@ -58,11 +84,8 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
     # operand the masked expression shares, e.g. image-texture texels).
     t_safe = jnp.minimum(hit["t"], 1.0e7)
     p = ray_o + t_safe[..., None] * ray_d
-    e1 = v1 - v0
-    e2 = v2 - v0
     ng = normalize(cross(e1, e2))
 
-    flags = scene["tri_flags"][prim]
     rev = (flags & REVERSE_ORIENTATION) != 0
     swap = (flags & XFORM_SWAPS_HANDEDNESS) != 0
     if has_inst is not None:
@@ -71,9 +94,6 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
     ng = jnp.where(flip[..., None], -ng, ng)
 
     # uv: default parameterization (0,0),(1,0),(1,1) as pbrt TriangleMesh::GetUVs
-    uv0 = scene["vuv"][idx[..., 0]]
-    uv1 = scene["vuv"][idx[..., 1]]
-    uv2 = scene["vuv"][idx[..., 2]]
     has_uv = ((flags & HAS_UV) != 0)[..., None]
     uv_default = jnp.concatenate(
         [b1 + b2, b2], axis=-1)  # (u,v) = b1*(1,0)+b2*(1,1)
@@ -94,13 +114,6 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
     dpdv = jnp.where(degen[..., None], t2, dpdv)
 
     # shading normal: interpolate vertex normals if present
-    n0 = scene["vnorm"][idx[..., 0]]
-    n1 = scene["vnorm"][idx[..., 1]]
-    n2 = scene["vnorm"][idx[..., 2]]
-    if has_inst is not None:
-        n0 = jnp.where(mI, o2w_normal(pk, t_lane, n0), n0)
-        n1 = jnp.where(mI, o2w_normal(pk, t_lane, n1), n1)
-        n2 = jnp.where(mI, o2w_normal(pk, t_lane, n2), n2)
     has_ns = ((flags & HAS_NS) != 0)[..., None]
     # guard the no-normals branch: vnorm rows are zeros there, and
     # normalize(0) = NaN would be masked in the forward pass but poison
@@ -129,8 +142,8 @@ def shading_geometry(scene, hit, ray_o, ray_d, time=None):
         "uv": uv,
         "dpdu": dpdu,
         "dpdv": dpdv,
-        "mat": scene["tri_mat"][prim],
-        "light": scene["tri_light"][prim],
+        "mat": mat_id,
+        "light": light_id,
         "ray_eps": 1e-3 * t_safe,   # pbrt Triangle::Intersect rayEpsilon policy
     }
 
@@ -141,17 +154,24 @@ def hit_geometric(scene, hit):
     estimate_direct's BSDF-sampling branch needs just these two to evaluate
     Le and the light pdf at the hit (pbrt Intersection::Le) — the full
     shading_geometry (uv/tangents/derivs) costs ~15 ms/Mray more."""
-    prim = jnp.maximum(hit["prim"], 0)
-    idx = scene["tri_idx"][prim]
-    v0 = scene["verts"][idx[..., 0]]
-    v1 = scene["verts"][idx[..., 1]]
-    v2 = scene["verts"][idx[..., 2]]
-    ng = normalize(cross(v1 - v0, v2 - v0))
-    flags = scene["tri_flags"][prim]
+    if "tri" in hit:   # ring mode: carried record
+        tri = hit["tri"]
+        ng = normalize(cross(tri["e1"], tri["e2"]))
+        flags = tri["flags"]
+        light = tri["light"]
+    else:
+        prim = jnp.maximum(hit["prim"], 0)
+        idx = scene["tri_idx"][prim]
+        v0 = scene["verts"][idx[..., 0]]
+        v1 = scene["verts"][idx[..., 1]]
+        v2 = scene["verts"][idx[..., 2]]
+        ng = normalize(cross(v1 - v0, v2 - v0))
+        flags = scene["tri_flags"][prim]
+        light = scene["tri_light"][prim]
     flip = (((flags & REVERSE_ORIENTATION) != 0)
             ^ ((flags & XFORM_SWAPS_HANDEDNESS) != 0))
     ng = jnp.where(flip[..., None], -ng, ng)
-    return {"ng": ng, "light": scene["tri_light"][prim]}
+    return {"ng": ng, "light": light}
 
 
 def world_to_local(sg, w):
