@@ -77,13 +77,15 @@ def _concat_arange(counts):
     return np.arange(total, dtype=np.int64) - starts
 
 
-def build_stream_records(bvh, tris9_ordered):
+def build_stream_records(bvh, tris9_ordered, prim_map=None):
     """Record stream from a flattened binary BVH (scene/bvh.py layout).
 
     bvh: numpy dict {bounds_min/max (Nn,3), right, prim_off, nprims, axis,
     prim_ids}. tris9_ordered: (T,9) [v0|e1|e2] already re-ordered by
-    bvh["prim_ids"] (leaf order). Returns (R,10) float32 records,
-    R = #interior + T (leaf nodes emit no box record).
+    bvh["prim_ids"] (leaf order). prim_map: optional local→global prim id
+    remap (clustered tables emit GLOBAL ids so the hit record and backward
+    recompute index the global triangle array). Returns (R,10) float32
+    records, R = #interior + T (leaf nodes emit no box record).
     """
     right = np.asarray(bvh["right"], np.int64)
     nprims = np.asarray(bvh["nprims"], np.int64)
@@ -113,7 +115,10 @@ def build_stream_records(bvh, tris9_ordered):
     src = np.repeat(prim_off[li], cnt) + k
     more = (k < np.repeat(cnt - 1, cnt)).astype(np.int64)
     recs[pos, 0:9] = np.asarray(tris9_ordered, np.float32)[src]
-    recs[pos, 9] = (prim_ids[src] * 8 + 4 + more).astype(np.float32)
+    emit_ids = prim_ids[src]
+    if prim_map is not None:
+        emit_ids = np.asarray(prim_map, np.int64)[emit_ids]
+    recs[pos, 9] = (emit_ids * 8 + 4 + more).astype(np.float32)
     return recs
 
 
@@ -143,6 +148,64 @@ def stream_fits_vmem(scene) -> bool:
     if bvh is None or "stream" not in bvh:
         return False
     return bvh["stream"].size * 4 < VMEM_TABLE_BUDGET
+
+
+# --------------------------------------------------------------------------
+# clustered tables: scenes beyond the VMEM wall (SURVEY §5.7, BASELINE cfg 4)
+# --------------------------------------------------------------------------
+
+CLUSTER_TARGET_TRIS = 140_000   # ~80 B/tri of records keeps each table <12 MB
+
+
+def _morton_np(c, bits=10):
+    q = np.clip(c * (1 << bits), 0, (1 << bits) - 1).astype(np.uint64)
+
+    def spread(v):
+        out = np.zeros_like(v)
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (3 * i)
+        return out
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
+def build_clustered_stream(verts_np, tri_idx_np, build_bvh,
+                           target=CLUSTER_TARGET_TRIS):
+    """Scenes whose record stream exceeds VMEM: Morton-order triangles by
+    centroid, cut into spatially compact clusters of <= `target` tris, build
+    one stream table per cluster (records carry GLOBAL prim ids), pad to a
+    common row count, and stack to (C, rows, 128). Traversal runs one
+    pallas launch per cluster with min-t merge + cross-cluster tmax
+    tightening (kernels/intersect.py); each launch's table still fits VMEM,
+    so 1M+ triangle scenes traverse at stream speed. The two-level analog of
+    pbrt's single big BVH (src/accelerators/bvh.cpp), shaped by the VMEM
+    budget instead of cache lines."""
+    verts = np.asarray(verts_np, np.float32)
+    idx = np.asarray(tri_idx_np, np.int64)
+    T = idx.shape[0]
+    v0 = verts[idx[:, 0]]
+    cen = (v0 + verts[idx[:, 1]] + verts[idx[:, 2]]) / 3.0
+    lo, hi = cen.min(0), cen.max(0)
+    order = np.argsort(_morton_np((cen - lo) / np.maximum(hi - lo, 1e-9)),
+                       kind="stable")
+    C = -(-T // target)
+    per = -(-T // C)
+    tables = []
+    for c in range(C):
+        members = np.sort(order[c * per:(c + 1) * per])
+        sub_idx = idx[members]
+        b = build_bvh(verts, sub_idx, max_prims=4, force_leaf=4)
+        sv0 = verts[sub_idx[:, 0]]
+        tris9 = np.concatenate(
+            [sv0, verts[sub_idx[:, 1]] - sv0, verts[sub_idx[:, 2]] - sv0],
+            axis=1)
+        ordered = tris9[np.asarray(b["prim_ids"], np.int64)]
+        recs = build_stream_records(b, ordered, prim_map=members)
+        tables.append(pack_record_rows(recs))
+    rows = max(t.shape[0] for t in tables)
+    # pad rows are unreachable (traversal starts at record 0 and only visits
+    # what the root's subtree references)
+    tables = [np.pad(t, ((0, rows - t.shape[0]), (0, 0))) for t in tables]
+    return np.stack(tables)
 
 
 # --------------------------------------------------------------------------

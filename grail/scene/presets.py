@@ -248,3 +248,52 @@ def mesh_scene(xres=256, yres=256, spp=16, grid=224, sampler_kind=ZERO_TWO):
                                 fov=42.0)
     scene, meta = b.finalize()
     return scene, meta, b
+
+
+def mesh_scene_1m(xres=256, yres=256, spp=16, grid=708,
+                  sampler_kind=ZERO_TWO):
+    """BASELINE config 4: 1M-triangle scene + DOF + motion blur + (0,2)-Sobol.
+
+    The displaced-terrain generator at grid=708 → 2·(grid−1)² ≈ 1.0M
+    triangles — past the single-table VMEM wall, exercising the clustered
+    stream traversal (kernels/bvh_stream.build_clustered_stream). Depth of
+    field via a finite lens radius; motion blur via an animated
+    camera-to-world over the shutter."""
+    from ..shade.textures import TexSpec
+
+    b = SceneBuilder()
+    b.xres, b.yres = xres, yres
+    b.sampler = SamplerConfig(kind=sampler_kind, spp=spp)
+    b.filter = FilterConfig.from_name("box")
+
+    n = grid
+    xs = np.linspace(-4.0, 4.0, n, dtype=np.float32)
+    zs = np.linspace(-4.0, 4.0, n, dtype=np.float32)
+    X, Z = np.meshgrid(xs, zs)
+    Y = (0.35 * np.sin(1.7 * X) * np.cos(1.3 * Z)
+         + 0.18 * np.sin(4.1 * X + 1.0) * np.sin(3.7 * Z)).astype(np.float32)
+    verts = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    uvs = np.stack([(X + 4.0) / 8.0, (Z + 4.0) / 8.0], -1).reshape(-1, 2)
+    ii, jj = np.meshgrid(np.arange(n - 1), np.arange(n - 1))
+    a = (jj * n + ii).ravel()
+    idx = np.concatenate([
+        np.stack([a, a + n, a + 1], -1),
+        np.stack([a + 1, a + n, a + n + 1], -1)], 0).astype(np.int64)
+
+    img_id = b.add_image(_checker_image())
+    tex = b.add_texture(TexSpec(kind="image", image_id=img_id, su=6.0, sv=6.0))
+    b.add_mesh(verts, idx, b.matte(kd_tex=tex), uvs=uvs)
+
+    sp_v, sp_i = tessellate_sphere(center=(0.0, 1.2, 0.0), radius=0.7,
+                                   nu=48, nv=24)
+    b.add_mesh(sp_v, sp_i, b.matte(kd=(0.3, 0.1, 0.08)))
+    b.add_infinite_light(env_map=_sky_env_map())
+
+    # DOF (lens_radius, focus on the sphere) + motion blur (animated c2w)
+    c2w0 = tr.look_at([0.0, 3.2, 7.5], [0.0, 0.6, 0.0], [0.0, 1.0, 0.0])
+    c2w1 = tr.look_at([0.12, 3.2, 7.44], [0.0, 0.6, 0.0], [0.0, 1.0, 0.0])
+    b.camera = cam.build_camera(cam.PERSPECTIVE, c2w0, c2w1, xres, yres,
+                                fov=42.0, lens_radius=0.04,
+                                focal_distance=7.6)
+    scene, meta = b.finalize()
+    return scene, meta, b

@@ -167,3 +167,75 @@ def test_stream_traversal_matches_brute():
                            interpret=True)
     occ2_ref = np.asarray(intersect_p_brute(scene, o, d, tmax2))
     assert ((np.asarray(prim_b) >= 0) == occ2_ref).all()
+
+
+def test_clustered_stream_matches_brute():
+    """Clustered record tables (scene > VMEM wall): per-cluster traversal +
+    min-t merge with cross-cluster tmax tightening must equal the exhaustive
+    oracle — the dispatch logic of kernels/intersect._stream_bvh['cstream']
+    exercised in interpret mode with a tiny cluster target."""
+    import numpy as np
+    import jax.numpy as jnp
+    from grail.scene.bvh import build_bvh
+    from grail.kernels.bvh_stream import build_clustered_stream, _run
+    from grail.kernels.intersect import intersect_brute, intersect_p_brute
+
+    rng = np.random.default_rng(11)
+    T = 3000
+    verts = (rng.random((T * 3, 3)) * 6).astype(np.float32)
+    tris = np.arange(T * 3, dtype=np.int32).reshape(T, 3)
+    c = verts[tris].mean(1, keepdims=True)
+    verts[tris.reshape(-1)] = (c + (verts[tris] - c) * 0.3).reshape(-1, 3)
+    scene = {"verts": jnp.asarray(verts), "tri_idx": jnp.asarray(tris)}
+
+    ctab = build_clustered_stream(verts, tris, build_bvh, target=700)
+    assert ctab.shape[0] >= 4      # really multiple clusters
+
+    # every global prim id appears exactly once across cluster tri records
+    ids = []
+    for ci in range(ctab.shape[0]):
+        recs = ctab[ci].reshape(-1, 16)
+        meta = recs[:, 9].astype(np.int64)
+        tri_rows = (meta & 4) > 0
+        # zero-pad rows also have meta 0 (box, right=0); real box records of
+        # cluster roots never collide with tri detection (bit 4)
+        ids.append(meta[tri_rows] >> 3)
+    ids = np.sort(np.concatenate(ids))
+    assert (ids == np.arange(T)).all()
+
+    n = 2048 + 77
+    o = jnp.asarray(rng.random((n, 3)).astype(np.float32) * 6)
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tmin = jnp.zeros((n,), jnp.float32)
+    tmax = jnp.full((n,), 1e7, jnp.float32)
+
+    BIG = jnp.float32(3.0e37)
+    t = jnp.full((n,), BIG)
+    prim = jnp.full((n,), -1, jnp.int32)
+    for ci in range(ctab.shape[0]):
+        cut = jnp.minimum(tmax, t)
+        tc, pc, _, _ = _run(jnp.asarray(ctab[ci]), o, d, tmin, cut,
+                            interpret=True)
+        closer = (pc >= 0) & (tc < t)
+        t = jnp.where(closer, tc, t)
+        prim = jnp.where(closer, pc, prim)
+
+    ref = intersect_brute(scene, o, d, tmax)
+    hit = np.asarray(prim) >= 0
+    hit_ref = np.asarray(ref["prim"]) >= 0
+    assert (hit == hit_ref).all()
+    ok = hit & hit_ref
+    np.testing.assert_allclose(np.asarray(t)[ok], np.asarray(ref["t"])[ok],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(prim)[ok] == np.asarray(ref["prim"])[ok]).mean() > 0.999
+
+    # any-hit with early-kill across clusters
+    occ = jnp.zeros((n,), bool)
+    for ci in range(ctab.shape[0]):
+        tmax_c = jnp.where(occ, jnp.float32(-3.0e37), tmax)
+        _, pa, _, _ = _run(jnp.asarray(ctab[ci]), o, d, tmin, tmax_c,
+                           any_hit=True, interpret=True)
+        occ = occ | (pa >= 0)
+    occ_ref = np.asarray(intersect_p_brute(scene, o, d, tmax))
+    assert (np.asarray(occ) == occ_ref).all()
