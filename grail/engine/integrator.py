@@ -126,10 +126,13 @@ def _alpha_at(scene, meta, hit, o, d):
     return jnp.where((hit["prim"] >= 0) & (row >= 0), a, 1.0)
 
 
-def scene_intersect(scene, meta, o, d, tmax, tmin=None, time=None):
+def scene_intersect(scene, meta, o, d, tmax, tmin=None, time=None,
+                    sort=None):
     """Scene::Intersect with alpha-cutout re-tracing when the scene has
-    alpha-mapped triangles (meta.alpha_rows non-empty)."""
-    hit = isect.intersect(scene, o, d, tmax, tmin, time=time)
+    alpha-mapped triangles (meta.alpha_rows non-empty). sort: ray re-binning
+    hint for the stream kernel (False for camera waves, which are already in
+    tile order — binning them costs more than it saves)."""
+    hit = isect.intersect(scene, o, d, tmax, tmin, time=time, sort=sort)
     if not getattr(meta, "alpha_rows", ()):
         return hit
     for _ in range(ALPHA_MAX_REJECT):
@@ -350,10 +353,13 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
 
     def bounce_body(bounce, state):
         o, d, L, throughput, active, spec_bounce = state
+        # peeled bounce 0 passes a CONCRETE int: camera waves arrive in tile
+        # order, so skip the ray re-binning for their closest hit
+        first = isinstance(bounce, int) and bounce == 0
         eps = jnp.zeros((n,), jnp.float32)
         hit = scene_intersect(scene, meta, o, d,
                               jnp.where(active, BIG, 0.0) * jnp.ones_like(eps),
-                              time=time)
+                              time=time, sort=(False if first else None))
         miss = hit["prim"] < 0
 
         if has_media:
@@ -387,10 +393,12 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
                        0.0)
         active = active & ~miss
 
+        # camdiff is only passed to the peeled bounce-0 body; later bounces
+        # carry no ray differentials (pbrt: RayDifferentials exist on camera
+        # rays only) and take the cheap finest-level bilinear texture path
         sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d,
                                              camdiff=camdiff,
-                                             is_primary=(bounce == 0),
-                                             zero_duv=True, time=time)
+                                             is_primary=first, time=time)
 
         # emitted at hit (area lights), only for camera/specular vertices
         if lt.AREA in meta.light_types:
@@ -543,7 +551,15 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
     has_media = scene.get("media") is not None
     max_depth = cfg.max_depth
     time = rays.get("time")
-    body = _make_bounce_body(scene, meta, cfg, pix, samp, rays.get("camdiff"),
+    # bounce 0 is PEELED out of the fori_loop with a concrete bounce index:
+    # camera differentials (the mip/EWA texture path) exist only there, the
+    # camera closest-hit skips ray re-binning (already tile-ordered), and
+    # bounces >= 1 compile without any of the masked differential machinery
+    # (previously EWA ran — masked to width 0 — at EVERY bounce)
+    body0 = _make_bounce_body(scene, meta, cfg, pix, samp,
+                              rays.get("camdiff"), n, vpls, has_media,
+                              time=time)
+    body = _make_bounce_body(scene, meta, cfg, pix, samp, None,
                              n, vpls, has_media, time=time)
     state = (o, d, L, throughput, active, spec_bounce)
 
@@ -554,6 +570,10 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
         oc = oc.at[b].set(jnp.sum(st[4].astype(jnp.float32)))
         return body(b, st), oc
 
+    if with_stats:
+        occ = occ.at[0].set(jnp.sum(active.astype(jnp.float32)))
+    state = body0(0, state)
+
     # compaction split point: the iteration after the first Russian roulette
     k = min(cfg.rr_depth + 1, max_depth + 1)
     cap = (int(n * cfg.compact_frac) // 1024) * 1024
@@ -562,17 +582,17 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
                    and cap >= 1024)
     if not use_compact:
         if with_stats:
-            state, occ = jax.lax.fori_loop(0, max_depth + 1, body_occ,
+            state, occ = jax.lax.fori_loop(1, max_depth + 1, body_occ,
                                            (state, occ))
             return state[2] * rays["weight"][..., None], occ
-        state = jax.lax.fori_loop(0, max_depth + 1, body, state)
+        state = jax.lax.fori_loop(1, max_depth + 1, body, state)
         return state[2] * rays["weight"][..., None]
 
     if with_stats:
         # the probe measures the SAME compacted program production runs
-        state, occ = jax.lax.fori_loop(0, k, body_occ, (state, occ))
+        state, occ = jax.lax.fori_loop(1, k, body_occ, (state, occ))
     else:
-        state = jax.lax.fori_loop(0, k, body, state)
+        state = jax.lax.fori_loop(1, k, body, state)
     o1, d1, L1, thr1, act1, spec1 = state
     take, count = _compaction_take(act1, cap)
 

@@ -202,12 +202,12 @@ def _use_stream(scene):
     return stream_fits_vmem(scene)
 
 
-def _base_intersect(scene, o, d, tmax, tmin, use_bvh):
+def _base_intersect(scene, o, d, tmax, tmin, use_bvh, sort=None):
     if use_bvh is None:
         use_bvh = "bvh" in scene and scene["bvh"] is not None
     if use_bvh:
         if _use_stream(scene):
-            return _stream_bvh(scene, o, d, tmax, tmin)
+            return _stream_bvh(scene, o, d, tmax, tmin, sort=sort)
         from .bvh_traverse import bvh_intersect
         return bvh_intersect(scene, o, d, tmax, tmin)
     if _pallas_ok():
@@ -215,7 +215,8 @@ def _base_intersect(scene, o, d, tmax, tmin, use_bvh):
     return intersect_brute(scene, o, d, tmax, tmin)
 
 
-def intersect(scene, o, d, tmax, tmin=None, use_bvh=None, time=None):
+def intersect(scene, o, d, tmax, tmin=None, use_bvh=None, time=None,
+              sort=None):
     """Scene intersection dispatch (Scene::Intersect analog).
 
     time (N,): ray times for animated instance transforms (None ⇒ shutter
@@ -225,7 +226,7 @@ def intersect(scene, o, d, tmax, tmin=None, use_bvh=None, time=None):
     if scene.get("ring") is not None:
         from ..dist.scene_shard import ring_intersect
         return ring_intersect(scene["ring"], o, d, tmax, tmin)
-    hit = _base_intersect(scene, o, d, tmax, tmin, use_bvh)
+    hit = _base_intersect(scene, o, d, tmax, tmin, use_bvh, sort=sort)
     if scene.get("inst") is not None:
         from .instanced import instances_intersect
         t_cut = jnp.minimum(tmax, hit["t"])

@@ -475,9 +475,9 @@ class SceneBuilder:
         }
         scene["images"] = tuple(jnp.asarray(im) for im in self.images)
         # mip pyramids (MIPMap, mipmap.h): host-side pow2 resample + levels
-        from ..shade.mipmap import build_pyramid
+        from ..shade.mipmap import build_pyramid, pack_pyramid
         scene["mipmaps"] = tuple(
-            tuple(jnp.asarray(l) for l in build_pyramid(im))
+            pack_pyramid(build_pyramid(im))
             for im in self.images)
 
         # ---- light table

@@ -65,11 +65,29 @@ def build_pyramid(img):
     return levels
 
 
-def _bilinear(level, s, t):
-    """Repeat-wrapped bilinear fetch at one level. s,t in [0,1)."""
-    h, w = level.shape[:2]
-    x = s * w - 0.5
-    y = t * h - 0.5
+def pack_pyramid(levels):
+    """Device representation: all levels flattened into ONE (S,C) array with
+    per-level offsets/sizes. Level selection becomes index arithmetic + flat
+    1-D gathers — no masked loop over levels (which evaluated EVERY level for
+    every lane) and no 2-D advanced-index gathers (the pathologically slow
+    XLA:TPU gather path; measured ~1 s per 1M-lane texture pass before)."""
+    flat = jnp.asarray(np.concatenate(
+        [np.asarray(l, np.float32).reshape(-1, l.shape[-1]) for l in levels]))
+    hs = np.asarray([l.shape[0] for l in levels], np.int32)
+    ws = np.asarray([l.shape[1] for l in levels], np.int32)
+    offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64)
+                                          * ws)[:-1]]).astype(np.int32)
+    return {"flat": flat, "h": jnp.asarray(hs), "w": jnp.asarray(ws),
+            "off": jnp.asarray(offs), "n_levels": len(levels)}
+
+
+def _bilinear_level(pyr, l_idx, s, t):
+    """Repeat-wrapped bilinear fetch at per-lane integer level l_idx."""
+    h = pyr["h"][l_idx]
+    w = pyr["w"][l_idx]
+    off = pyr["off"][l_idx]
+    x = s * w.astype(jnp.float32) - 0.5
+    y = t * h.astype(jnp.float32) - 0.5
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[..., None]
@@ -78,46 +96,43 @@ def _bilinear(level, s, t):
     x1m = jnp.mod(x0 + 1, w)
     y0m = jnp.mod(y0, h)
     y1m = jnp.mod(y0 + 1, h)
-    c00 = level[y0m, x0m]
-    c01 = level[y0m, x1m]
-    c10 = level[y1m, x0m]
-    c11 = level[y1m, x1m]
+    flat = pyr["flat"]
+    c00 = flat[off + y0m * w + x0m]
+    c01 = flat[off + y0m * w + x1m]
+    c10 = flat[off + y1m * w + x0m]
+    c11 = flat[off + y1m * w + x1m]
     return ((1 - fy) * ((1 - fx) * c00 + fx * c01)
             + fy * ((1 - fx) * c10 + fx * c11))
 
 
-def lookup_trilinear(levels, s, t, width):
+def lookup_trilinear(pyr, s, t, width):
     """MIPMap::Lookup(s,t,width): level = nLevels-1 + log2(max(width,eps)),
-    lerp between the two bracketing levels."""
-    n_levels = len(levels)
+    lerp between the two bracketing levels (8 flat gathers total)."""
+    n_levels = pyr["n_levels"]
     s = jnp.mod(s, 1.0)
     t = jnp.mod(t, 1.0)
     lvl = (n_levels - 1) + jnp.log2(jnp.maximum(width, 1e-8))
     lvl = jnp.clip(lvl, 0.0, n_levels - 1)
     l0 = jnp.floor(lvl)
     frac = (lvl - l0)[..., None]
-    out0 = jnp.zeros(s.shape + (levels[0].shape[-1],), jnp.float32)
-    out1 = jnp.zeros_like(out0)
-    for li, level in enumerate(levels):
-        m0 = (l0 == li)[..., None]
-        m1 = (jnp.minimum(l0 + 1, n_levels - 1) == li)[..., None]
-        v = _bilinear(jnp.asarray(level), s, t)
-        out0 = jnp.where(m0, v, out0)
-        out1 = jnp.where(m1, v, out1)
+    i0 = l0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n_levels - 1)
+    out0 = _bilinear_level(pyr, i0 * jnp.ones_like(s, jnp.int32), s, t)
+    out1 = _bilinear_level(pyr, i1 * jnp.ones_like(s, jnp.int32), s, t)
     return (1.0 - frac) * out0 + frac * out1
 
 
 _EWA_TAPS = 4      # fixed 4x4 tap grid over the ellipse bounding box
 
 
-def lookup_ewa(levels, s, t, ds0, dt0, ds1, dt1, maxaniso=8.0):
+def lookup_ewa(pyr, s, t, ds0, dt0, ds1, dt1, maxaniso=8.0):
     """MIPMap::Lookup(s,t,ds0,dt0,ds1,dt1) — EWA with a static tap grid.
 
     The level is chosen from the minor axis (after maxaniso clamping), the
     elliptical Gaussian is evaluated on a fixed 4x4 grid spanning the
     ellipse's bounding box, weights normalized (pbrt weightLut falloff
     alpha=2)."""
-    n_levels = len(levels)
+    n_levels = pyr["n_levels"]
     # major/minor axis lengths
     len0 = jnp.sqrt(ds0 * ds0 + dt0 * dt0)
     len1 = jnp.sqrt(ds1 * ds1 + dt1 * dt1)
@@ -153,10 +168,11 @@ def lookup_ewa(levels, s, t, ds0, dt0, ds1, dt1, maxaniso=8.0):
             dv = taps[iv] * v_r
             r2 = A_ * du * du + B_ * du * dv + C_ * dv * dv
             w = jnp.where(r2 < 1.0, jnp.exp(-2.0 * r2) - math.exp(-2.0), 0.0)
-            val = lookup_trilinear(levels, s + du, t + dv,
-                                   2.0 ** (l0 - (n_levels - 1)))
+            li = l0.astype(jnp.int32)
+            val = _bilinear_level(pyr, li, jnp.mod(s + du, 1.0),
+                                  jnp.mod(t + dv, 1.0))
             w = jnp.maximum(w, 0.0)[..., None]
             acc = val * w if acc is None else acc + val * w
             wsum = w if wsum is None else wsum + w
-    fallback = lookup_trilinear(levels, s, t, 2.0 ** (lvl - (n_levels - 1)))
+    fallback = lookup_trilinear(pyr, s, t, 2.0 ** (lvl - (n_levels - 1)))
     return jnp.where(wsum > 1e-8, acc / jnp.maximum(wsum, 1e-8), fallback)

@@ -302,7 +302,7 @@ def image_lookup(spec, images, mipmaps, sg, s, t):
     duvdx = sg.get("duvdx")
     if (not have_mips) or duvdx is None or spec.filt == "bilinear":
         return image_bilinear(images[spec.image_id], s, t)
-    levels = mipmaps[spec.image_id]
+    pyr = mipmaps[spec.image_id]
     # derivatives of (s,t) through the uv mapping (UVMapping2D::Map computes
     # dstdx = (su*dudx, sv*dvdx); non-uv mappings fall back to width 0)
     if spec.mapping == "uv":
@@ -315,8 +315,8 @@ def image_lookup(spec, images, mipmaps, sg, s, t):
     if spec.filt == "trilinear":
         width = jnp.maximum(jnp.maximum(jnp.abs(ds0), jnp.abs(dt0)),
                             jnp.maximum(jnp.abs(ds1), jnp.abs(dt1)))
-        return lookup_trilinear(levels, s, t, 2.0 * width)
-    return lookup_ewa(levels, s, t, ds0, dt0, ds1, dt1, spec.maxaniso)
+        return lookup_trilinear(pyr, s, t, 2.0 * width)
+    return lookup_ewa(pyr, s, t, ds0, dt0, ds1, dt1, spec.maxaniso)
 
 
 def image_bilinear(img, s, t):
@@ -333,10 +333,13 @@ def image_bilinear(img, s, t):
     x1 = (x0 + 1) % w
     y0 = y0 % h
     y1 = (y0 + 1) % h
-    v00 = img[y0, x0]
-    v01 = img[y1, x0]
-    v10 = img[y0, x1]
-    v11 = img[y1, x1]
+    # flat 1-D gathers (2-D advanced indexing hits a pathologically slow
+    # XLA:TPU gather path — measured ~1 s per 1M-lane texture pass)
+    flat = img.reshape(-1, img.shape[-1])
+    v00 = flat[y0 * w + x0]
+    v01 = flat[y1 * w + x0]
+    v10 = flat[y0 * w + x1]
+    v11 = flat[y1 * w + x1]
     fx = fx[..., None]
     fy = fy[..., None]
     return ((1 - fx) * (1 - fy) * v00 + (1 - fx) * fy * v01

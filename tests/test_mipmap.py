@@ -3,7 +3,8 @@ selection, EWA finiteness + anisotropy, and the imagemap integration path."""
 import numpy as np
 import jax.numpy as jnp
 
-from grail.shade.mipmap import build_pyramid, lookup_trilinear, lookup_ewa
+from grail.shade.mipmap import (build_pyramid, pack_pyramid,
+                                lookup_trilinear, lookup_ewa)
 
 
 def _stripes():
@@ -30,7 +31,7 @@ def test_pyramid_pow2_resample():
 
 
 def test_trilinear_width_selects_level():
-    levels = [jnp.asarray(l) for l in build_pyramid(_stripes())]
+    levels = pack_pyramid(build_pyramid(_stripes()))
     s = jnp.asarray([0.25])
     t = jnp.asarray([15.5 / 64])   # texel-center row 15 (a dark stripe)
     fine = np.asarray(lookup_trilinear(levels, s, t, jnp.asarray([1 / 64])))
@@ -41,7 +42,7 @@ def test_trilinear_width_selects_level():
 
 
 def test_ewa_finite_and_anisotropic():
-    levels = [jnp.asarray(l) for l in build_pyramid(_stripes())]
+    levels = pack_pyramid(build_pyramid(_stripes()))
     s = jnp.asarray([0.25, 0.7])
     t = jnp.asarray([0.25, 0.7])
     z = jnp.zeros_like(s)
