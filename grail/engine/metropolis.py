@@ -7,8 +7,10 @@ SPMD batch: the chain state is the primary-sample vector u ∈ [0,1)^D; a mutati
 is either a LargeStep (fresh uniform vector) or Kelemen's exponential small step
 (MutateValue, metropolis.cpp ~L120); path radiance is re-evaluated for the whole
 batch; acceptance, Kelemen-weighted splats of both states, and the bootstrap
-normalization b all follow the reference. Bidirectional path construction is
-post-v1 (documented divergence — camera paths with per-vertex direct lighting).
+normalization b all follow the reference. eval_path_bidir adds the reference's
+bidirectional path construction (camera + light subpaths, every (t,s)
+connection) with balance-heuristic MIS over area-measure pdfs, and
+direct_separate reproduces the doDirectSeparately split.
 """
 from __future__ import annotations
 
@@ -37,6 +39,11 @@ _HDR = 5
 _PB = 9   # light_sel, light_u, light_v, light_tri, mis_comp, mis_u, mis_v, bsdf_comp+dir(2) → 9
 
 
+_LHDR = 6   # light subpath header: light_sel, tri, bary u1,u2, dir u1,u2
+_LPB = 3    # per light bounce: bsdf u1, u2, u_comp
+S_MAX = 2   # light subpath surface vertices y1..y_{S_MAX} (y0 on the light)
+
+
 @dataclasses.dataclass(frozen=True)
 class MLTConfig:
     max_depth: int = 5
@@ -46,10 +53,16 @@ class MLTConfig:
     large_step_prob: float = 0.25
     small_step_s1: float = 1.0 / 1024.0
     small_step_s2: float = 1.0 / 16.0
+    bidirectional: bool = False   # metropolis.cpp "bidirectional"
+    direct_separate: bool = False  # "dodirectseparately": direct light via a
+    # standard sampler-renderer pass; MLT carries only the indirect remainder
 
     @property
     def dim(self):
-        return _HDR + (self.max_depth + 1) * _PB
+        d = _HDR + (self.max_depth + 1) * _PB
+        if self.bidirectional:
+            d += _LHDR + S_MAX * _LPB
+        return d
 
 
 def _col(u, i):
@@ -135,6 +148,289 @@ def eval_path(scene, meta, cfg: MLTConfig, u):
     return L, px, py
 
 
+def _area_light_point(scene, meta, u_sel, u_tri, ub1, ub2):
+    """Uniform light pick + uniform point on its triangle set (area lights).
+
+    Returns dict p, nl, Le (one-sided), pdfA (pmf * 1/area), li."""
+    from ..core import montecarlo as mcmod
+    n_lights = meta.n_lights
+    li = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
+    lights = scene["lights"]
+    slot = mcmod.searchsorted_rows(lights["acdf"], li, u_tri)
+    at = lights["av0"].shape[1]
+    flat = li * at + slot
+    v0 = lights["av0"].reshape(-1, 3)[flat]
+    v1 = lights["av1"].reshape(-1, 3)[flat]
+    v2 = lights["av2"].reshape(-1, 3)[flat]
+    b0, b1 = mcmod.uniform_sample_triangle(ub1, ub2)
+    p = b0[..., None] * v0 + b1[..., None] * v1 \
+        + (1.0 - b0 - b1)[..., None] * v2
+    from ..core.vecmath import cross, normalize
+    nl = normalize(cross(v1 - v0, v2 - v0))
+    flip = lights["aflip"].reshape(-1)[flat] != 0
+    nl = jnp.where(flip[..., None], -nl, nl)
+    is_area = lights["type"][li] == lt.AREA
+    Le = jnp.where(is_area[..., None], lights["emit"][li], 0.0)
+    pdfA = (1.0 / n_lights) / jnp.maximum(lights["area"][li], 1e-12)
+    return {"p": p, "nl": nl, "Le": Le, "pdfA": pdfA, "li": li,
+            "ok": is_area}
+
+
+def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
+    """Bidirectional path radiance for primary-sample vectors u (N,D) —
+    pbrt metropolis.cpp GeneratePath/Lbidir re-architected for SPMD.
+
+    A camera subpath (vertices z1..zT from the fixed pixel ray, no RR) and a
+    light subpath (y0 on an area light + y1..yS by BSDF sampling) are built
+    per chain; every (t, s) pairing contributes
+        Tc_t · f_z(zt) · G(zt, y) · [f_y(yj) · Tl_j] · V
+    with s=0 the pure camera path hitting an emitter and s=1 area-measure
+    next-event estimation. Strategies are combined with BALANCE-heuristic MIS
+    over the area-measure pdfs of every split of the same vertex chain — an
+    upgrade over the reference's uniform 1/N path weighting (documented
+    divergence; the reference is per-strategy-count weighted). Specular
+    connection endpoints are excluded; interior delta pdfs cancel in ratios.
+    Light subpaths use area lights only (other light types are covered by the
+    s<=1 strategies). direct_separate drops the length-<=2 strategies (the
+    reference's "dodirectseparately": a standard direct-lighting pass renders
+    those)."""
+    n = u.shape[0]
+    T_MAX = cfg.max_depth + 1           # camera surface vertices z1..zT
+    present = meta.lobe_types
+
+    px = _col(u, 0) * meta.xres
+    py = _col(u, 1) * meta.yres
+    rays = cam.generate_rays(
+        scene["camera"],
+        jnp.floor(px).astype(jnp.int32), jnp.floor(py).astype(jnp.int32),
+        px - jnp.floor(px), py - jnp.floor(py),
+        _col(u, 2), _col(u, 3), _col(u, 4), meta.cam_kind)
+
+    def surface_vertex(o, d, active):
+        hit = isect.intersect(scene, o, d,
+                              jnp.where(active, BIG, 0.0) * jnp.ones((n,)))
+        ok = active & (hit["prim"] >= 0)
+        sg = geom.shading_geometry(scene, hit, o, d)
+        tex_values = eval_textures(meta.tex_specs, scene["tex_data"], sg,
+                                   scene.get("images", ()))
+        lobes = mtl.gather_lobes(scene, sg, tex_values)
+        conn = ok & (bx.bsdf_num_components(lobes, False) > 0)
+        return {"ok": ok, "sg": sg, "lobes": lobes, "p": sg["p"],
+                "ns": sg["ns"], "ng": sg["ng"], "conn": conn,
+                "wo_world": -d, "t": hit["t"], "light": sg["light"]}
+
+    def pdf_solid(v, wo_world, wi_world):
+        wo_l = geom.world_to_local(v["sg"], wo_world)
+        wi_l = geom.world_to_local(v["sg"], wi_world)
+        return bx.bsdf_pdf(v["lobes"], wo_l, wi_l, present, False)
+
+    def f_eval(v, wo_world, wi_world):
+        wo_l = geom.world_to_local(v["sg"], wo_world)
+        wi_l = geom.world_to_local(v["sg"], wi_world)
+        return bx.bsdf_f(v["lobes"], wo_l, wi_l, present, False,
+                         tables=scene.get("brdf_tables", ()))
+
+    # ---------------------------------------------------------- camera walk
+    cam_v = []          # z1..zT
+    Tc = []             # throughput UP TO vertex (camera importance side)
+    pdfA_cam = []       # area pdf of generating z_i from z_{i-1} (z1 -> 1)
+    delta_ev = []       # the bsdf event sampled AT z_i was specular
+    o, d = rays["o"], rays["d"]
+    active = jnp.ones((n,), jnp.bool_)
+    thr = jnp.ones((n, 3), jnp.float32)
+    prev_pdf_solid = jnp.ones((n,), jnp.float32)
+    prev_delta = jnp.zeros((n,), jnp.bool_)
+    for t in range(T_MAX):
+        v = surface_vertex(o, d, active)
+        seg2 = jnp.maximum(v["t"] * v["t"], 1e-12)
+        cosv = absdot(d, v["ns"])
+        pdfA_cam.append(jnp.where(prev_delta, 1.0,
+                                  prev_pdf_solid * cosv / seg2)
+                        if t else jnp.ones((n,)))
+        cam_v.append(v)
+        Tc.append(thr)
+        base = _HDR + t * _PB
+        bs = bx.bsdf_sample(v["lobes"],
+                            geom.world_to_local(v["sg"], v["wo_world"]),
+                            _col(u, base + 4), _col(u, base + 5),
+                            _col(u, base + 6), present, True)
+        wi_w = geom.local_to_world(v["sg"], bs["wi"])
+        cosc = absdot(wi_w, v["ns"])
+        contrib = bs["f"] * (cosc / jnp.maximum(bs["pdf"], 1e-12))[..., None]
+        ok = v["ok"] & bs["valid"] & jnp.any(bs["f"] != 0, axis=-1)
+        thr = jnp.where(ok[..., None], thr * contrib, thr)
+        delta_ev.append(bs["specular"])
+        prev_pdf_solid = bs["pdf"]
+        prev_delta = bs["specular"]
+        active = ok
+        o = v["p"] + wi_w * v["sg"]["ray_eps"][..., None]
+        d = wi_w
+
+    # ----------------------------------------------------------- light walk
+    lb = _HDR + (cfg.max_depth + 1) * _PB
+    y0 = _area_light_point(scene, meta, _col(u, lb), _col(u, lb + 1),
+                           _col(u, lb + 2), _col(u, lb + 3))
+    from ..core.vecmath import coordinate_system
+    t1v, t2v = coordinate_system(y0["nl"])
+    wl = mc.cosine_sample_hemisphere(_col(u, lb + 4), _col(u, lb + 5))
+    d0 = (wl[:, 0:1] * t1v + wl[:, 1:2] * t2v + wl[:, 2:3] * y0["nl"])
+    cos0 = jnp.maximum(wl[:, 2], 0.0)
+    pdf_dir0 = cos0 * (1.0 / jnp.pi)
+    light_v = []
+    Tl = []              # throughput for connection AT y_j (radiance units)
+    pdfA_light = []      # area pdf of generating y_j from y_{j-1}
+    Tl0 = y0["Le"] / jnp.maximum(y0["pdfA"], 1e-12)[..., None]
+    l_thr = Tl0 * (cos0 / jnp.maximum(pdf_dir0, 1e-9))[..., None]
+    l_active = y0["ok"] & (cos0 > 1e-6) & jnp.any(y0["Le"] > 0, axis=-1)
+    lo, ld = y0["p"] + d0 * 1e-4, d0
+    l_prev_pdf_solid = pdf_dir0
+    l_prev_delta = jnp.zeros((n,), jnp.bool_)
+    for s in range(S_MAX):
+        v = surface_vertex(lo, ld, l_active)
+        seg2 = jnp.maximum(v["t"] * v["t"], 1e-12)
+        cosv = absdot(ld, v["ns"])
+        pdfA_light.append(jnp.where(l_prev_delta, 1.0,
+                                    l_prev_pdf_solid * cosv / seg2))
+        light_v.append(v)
+        Tl.append(l_thr)
+        lbb = lb + _LHDR + s * _LPB
+        bs = bx.bsdf_sample(v["lobes"],
+                            geom.world_to_local(v["sg"], v["wo_world"]),
+                            _col(u, lbb), _col(u, lbb + 1),
+                            _col(u, lbb + 2), present, True)
+        wi_w = geom.local_to_world(v["sg"], bs["wi"])
+        cosc = absdot(wi_w, v["ns"])
+        contrib = bs["f"] * (cosc / jnp.maximum(bs["pdf"], 1e-12))[..., None]
+        ok = v["ok"] & bs["valid"] & jnp.any(bs["f"] != 0, axis=-1)
+        l_thr = jnp.where(ok[..., None], l_thr * contrib, l_thr)
+        l_prev_pdf_solid = bs["pdf"]
+        l_prev_delta = bs["specular"]
+        l_active = ok
+        lo = v["p"] + wi_w * v["sg"]["ray_eps"][..., None]
+        ld = wi_w
+
+    # ------------------------------------------------- connections + MIS
+    def seg(a, b):
+        vec = b - a
+        d2 = jnp.maximum(jnp.sum(vec * vec, -1), 1e-12)
+        dist = jnp.sqrt(d2)
+        return vec / dist[..., None], dist, d2
+
+    def visible(pa, eps_a, pb, w, dist):
+        # both endpoints are surfaces: pull the segment in by the origin's
+        # ray epsilon at each end (integrator.cpp estimate_direct convention)
+        return ~isect.intersect_p(scene, pa + w * eps_a[..., None], w,
+                                  dist * (1.0 - 1e-3) - 2.0 * eps_a)
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    min_len = 3 if cfg.direct_separate else 1
+
+    for t in range(1, T_MAX + 1):
+        z = cam_v[t - 1]
+        zc = Tc[t - 1]
+        # ---- s = 0: z_t lies on an emitter
+        if lt.AREA in meta.light_types and t >= min_len:
+            Le_hit = lt.area_light_emitted(scene, z["sg"], z["wo_world"])
+            emit_ok = z["ok"] & jnp.any(Le_hit > 0, axis=-1)
+
+            # weight: strategies t' < t move suffix vertices to light side
+            inv_w = jnp.ones((n,))
+            r = jnp.ones((n,))
+            # t' = t-1: light strategy samples y0 = z_t directly
+            li_row = jnp.maximum(z["light"], 0)
+            pdfA_y0 = (1.0 / meta.n_lights) / jnp.maximum(
+                scene["lights"]["area"][li_row], 1e-12)
+            prev = cam_v[t - 2] if t >= 2 else None
+            if prev is not None:
+                r = r * pdfA_y0 / jnp.maximum(pdfA_cam[t - 1], 1e-18)
+                ok_s = prev["conn"] & ~delta_ev[t - 1]
+                inv_w = inv_w + jnp.where(ok_s, r, 0.0)
+                # t' = t-2: y0=z_t, y1=z_{t-1} (light samples emission dir)
+                if t >= 3 and S_MAX >= 1:
+                    w_lz, dist_lz, d2_lz = seg(z["p"], prev["p"])
+                    cos_e = absdot(w_lz, z["ns"])
+                    cos_r = absdot(w_lz, prev["ns"])
+                    pl_prev = (cos_e / jnp.pi) * cos_r / d2_lz
+                    r2 = r * pl_prev / jnp.maximum(pdfA_cam[t - 2], 1e-18)
+                    pp = cam_v[t - 3]
+                    ok_s2 = pp["conn"] & prev["conn"] & ~delta_ev[t - 2]
+                    inv_w = inv_w + jnp.where(ok_s2, r2, 0.0)
+            w_mis = 1.0 / jnp.maximum(inv_w, 1.0)
+            L += jnp.where((emit_ok)[..., None],
+                           zc * Le_hit * w_mis[..., None], 0.0)
+
+        # ---- s = 1: next-event estimation to an area-light point
+        if meta.n_lights > 0 and t + 1 >= min_len:
+            base = _HDR + (t - 1) * _PB
+            y = _area_light_point(scene, meta, _col(u, base + 0),
+                                  _col(u, base + 3), _col(u, base + 1),
+                                  _col(u, base + 2))
+            w_zy, dist, d2 = seg(z["p"], y["p"])
+            cos_z = absdot(w_zy, z["ns"])
+            cos_y = dot(y["nl"], -w_zy)
+            f_z = f_eval(z, z["wo_world"], w_zy)
+            can = (z["conn"] & y["ok"] & (cos_y > 0)
+                   & jnp.any(f_z > 0, axis=-1))
+            V = visible(z["p"], z["sg"]["ray_eps"], y["p"], w_zy, dist)
+            G = cos_z * jnp.abs(cos_y) / d2
+            C = zc * f_z * y["Le"] * (G / jnp.maximum(y["pdfA"], 1e-12)
+                                      )[..., None]
+            # weight vs: camera hitting the light (t'=t+1), deeper light
+            # strategies omitted beyond S_MAX
+            pc_y = pdf_solid(z, z["wo_world"], w_zy) * jnp.abs(cos_y) / d2
+            inv_w = jnp.ones((n,))
+            if t + 1 <= T_MAX:     # (t+1, s=0) exists within truncation
+                r = pc_y / jnp.maximum(y["pdfA"], 1e-12)
+                inv_w = inv_w + r
+            if t >= 2 and S_MAX >= 1:
+                # t'=t-1: y1 = z_t sampled from the light side
+                cos_e = dot(y["nl"], -w_zy)
+                pl_z = (jnp.maximum(cos_e, 0.0) / jnp.pi) * cos_z / d2
+                prev = cam_v[t - 2]
+                r2 = pl_z / jnp.maximum(pdfA_cam[t - 1], 1e-18)
+                ok_s = prev["conn"] & ~delta_ev[t - 1]
+                inv_w = inv_w + jnp.where(ok_s, r2, 0.0)
+            w_mis = 1.0 / jnp.maximum(inv_w, 1.0)
+            L += jnp.where((can & V)[..., None], C * w_mis[..., None], 0.0)
+
+        # ---- s >= 2: connect z_t to light subpath vertex y_j
+        for s in range(1, S_MAX + 1):
+            if t + s + 1 < min_len:
+                continue
+            y = light_v[s - 1]
+            yT = Tl[s - 1]
+            w_zy, dist, d2 = seg(z["p"], y["p"])
+            cos_z = absdot(w_zy, z["ns"])
+            cos_y = absdot(w_zy, y["ns"])
+            f_z = f_eval(z, z["wo_world"], w_zy)
+            f_y = f_eval(y, y["wo_world"], -w_zy)
+            can = (z["conn"] & y["conn"]
+                   & jnp.any(f_z > 0, -1) & jnp.any(f_y > 0, -1))
+            V = visible(z["p"], z["sg"]["ray_eps"], y["p"], w_zy, dist)
+            G = cos_z * cos_y / d2
+            C = zc * f_z * G[..., None] * f_y * yT
+            # balance over neighboring splits (one step each way; deeper
+            # alternatives carry the same truncation as the estimator)
+            inv_w = jnp.ones((n,))
+            if t + 1 <= T_MAX:     # (t+1, s-1) exists within truncation
+                pc_y = pdf_solid(z, z["wo_world"], w_zy) * cos_y / d2
+                r = pc_y / jnp.maximum(pdfA_light[s - 1], 1e-18)
+                ok_e = ~delta_ev[t - 1] if t >= 1 else jnp.ones((n,), bool)
+                if s >= 2:
+                    ok_e = ok_e & light_v[s - 2]["conn"]
+                inv_w = inv_w + jnp.where(ok_e, r, 0.0)
+            if t >= 2 and s + 1 <= S_MAX:   # (t-1, s+1) exists
+                pl_z = pdf_solid(y, y["wo_world"], -w_zy) * cos_z / d2
+                r2 = pl_z / jnp.maximum(pdfA_cam[t - 1], 1e-18)
+                ok_s = cam_v[t - 2]["conn"] & ~delta_ev[t - 1]
+                inv_w = inv_w + jnp.where(ok_s, r2, 0.0)
+            w_mis = 1.0 / jnp.maximum(inv_w, 1.0)
+            L += jnp.where((can & V)[..., None], C * w_mis[..., None], 0.0)
+
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    return L, px, py
+
+
 def _mutate(u, key_pix, step_idx, cfg: MLTConfig):
     """One Metropolis mutation for the batch: LargeStep or Kelemen small step."""
     n, D = u.shape
@@ -159,9 +455,15 @@ def _mutate(u, key_pix, step_idx, cfg: MLTConfig):
 
 
 def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
-    """Full MLT render: bootstrap → chains → splat; returns (image, film)."""
+    """Full MLT render: bootstrap → chains → splat; returns (image, film).
+
+    bidirectional selects eval_path_bidir; direct_separate additionally
+    renders lengths <= 2 with one standard direct-lighting wave per pixel
+    sample (metropolis.cpp doDirectSeparately) and the MLT phase carries only
+    the remainder."""
     n = cfg.n_chains
     D = cfg.dim
+    evalf = eval_path_bidir if cfg.bidirectional else eval_path
 
     @jax.jit
     def bootstrap(seed_arr):
@@ -170,7 +472,7 @@ def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
         u = jnp.stack([rngmod.sample_1d(
             rngmod.SamplerConfig(kind=rngmod.RANDOM), pix, samp, dcol)
             for dcol in range(D)], axis=1)
-        Lb, _, _ = eval_path(scene, meta, cfg, u)
+        Lb, _, _ = evalf(scene, meta, cfg, u)
         y = luminance(Lb)
         b = jnp.mean(y)
         # resample chain starts proportional to y
@@ -187,7 +489,7 @@ def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
 
     @jax.jit
     def wave(film, u, wave_idx):
-        L_cur, px_c, py_c = eval_path(scene, meta, cfg, u)
+        L_cur, px_c, py_c = evalf(scene, meta, cfg, u)
         y_cur = luminance(L_cur)
 
         def step(carry, k):
@@ -196,7 +498,7 @@ def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
                        ^ (wave_idx * jnp.uint32(7919))
                        ^ (k * jnp.uint32(104729)))
             u_prop, large = _mutate(u, key_pix, k, cfg)
-            L_prop, px_p, py_p = eval_path(scene, meta, cfg, u_prop)
+            L_prop, px_p, py_p = evalf(scene, meta, cfg, u_prop)
             y_prop = luminance(L_prop)
             a = jnp.minimum(1.0, y_prop / jnp.maximum(y_cur, 1e-12))
             # Kelemen weighted splats of both states
@@ -229,4 +531,11 @@ def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
     # splat normalization: E[image] = b · splat / n_mutations · n_pixels
     splat_scale = float(b) * meta.xres * meta.yres / total_mutations
     img = flm.develop(film, splat_scale=splat_scale)
+    if cfg.direct_separate:
+        from .render import render as _render
+        from .integrator import IntegratorConfig
+        img_d, _ = _render(scene, meta,
+                           IntegratorConfig(kind="direct", max_depth=0,
+                                            light_strategy="all"), spp=8)
+        img = img + img_d
     return img, film

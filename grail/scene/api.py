@@ -10,8 +10,9 @@ Divergences (documented):
   the two-level TLAS lands; `ObjectInstance` of large meshes warns.
 - Animated *shape* transforms take the shutter-open transform (camera motion
   blur is exact); animated-primitive motion blur arrives with the TLAS.
-- Renderer "metropolis" falls back to the sampler renderer with the path
-  integrator (MLT is post-v1; SURVEY §3.5).
+- Renderer "metropolis" maps to the batched PSS-MLT engine
+  (engine/metropolis.py) with bidirectional path construction and optional
+  direct-lighting separation (SURVEY §3.5).
 """
 from __future__ import annotations
 
@@ -1042,11 +1043,10 @@ class PbrtAPI:
                 max_depth=rp.find_one_int("maxdepth", 7),
                 n_bootstrap=rp.find_one_int("bootstrapsamples", 4096),
                 large_step_prob=rp.find_one_float("largestepprobability", 0.25),
-                mutations_per_wave=16)
+                mutations_per_wave=16,
+                bidirectional=rp.find_one_bool("bidirectional", True),
+                direct_separate=rp.find_one_bool("dodirectseparately", False))
             self.mlt_spp = rp.find_one_int("samplesperpixel", 32)
-            if rp.find_one_bool("bidirectional", True):
-                log.warning("MLT bidirectional paths pending; using "
-                            "camera-path PSS-MLT")
         self.probe_bake = None
         self.surfacepoints_out = None
         if self.renderer_name == "createprobes":
@@ -1065,7 +1065,8 @@ class PbrtAPI:
                 "filename": rp.find_one_string("filename", "surfacepoints.out"),
                 "npoints": 4096,
             }
-        elif self.renderer_name not in ("sampler", "aggregatetest", ""):
+        elif self.renderer_name not in ("sampler", "aggregatetest",
+                                        "metropolis", ""):
             log.warning("Renderer %r falls back to the sampler renderer",
                         self.renderer_name)
         if self.accelerator_name not in ("bvh", ""):

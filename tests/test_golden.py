@@ -27,6 +27,20 @@ SCENES = {
     "ao": 0.02,
     "orthodisk": 0.02,
     "spotfog": 0.02,
+    # round-4 breadth: every exotic integrator / material / light / shape
+    # family gets a .pbrt + golden (reference scenes/ corpus analog)
+    "photon": 0.02,
+    "mlt": 0.05,          # Metropolis renderer path (splat film)
+    "dipole": 0.02,
+    "prtteapot": 0.02,
+    "irradcache": 0.02,
+    "measured": 0.02,
+    "bump": 0.02,
+    "projgonio": 0.02,
+    "heightfield": 0.02,
+    "nurbs": 0.02,
+    "whittedigi": 0.02,
+    "useprobes": 0.02,
 }
 
 
@@ -35,6 +49,13 @@ def render_scene(name):
     from grail.engine.render import render
 
     scene, meta, api = parse_file(os.path.join(SCENES_DIR, name + ".pbrt"))
+    if getattr(api, "mlt_config", None) is not None:
+        from grail.engine.metropolis import render_mlt
+        n_waves = max(1, (meta.xres * meta.yres * api.mlt_spp)
+                      // (api.mlt_config.n_chains
+                          * api.mlt_config.mutations_per_wave))
+        img, _ = render_mlt(scene, meta, api.mlt_config, n_waves=n_waves)
+        return np.asarray(img)
     img, _ = render(scene, meta, api.integrator_config)
     return np.asarray(img)
 

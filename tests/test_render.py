@@ -210,3 +210,57 @@ def test_occupancy_probe():
     assert occ[0] == 1.0
     assert all(b <= a + 1e-6 for a, b in zip(occ, occ[1:]))
     assert occ[-1] < 0.5   # RR has culled the tail
+
+
+def test_mlt_bidirectional_matches_path_mean():
+    """eval_path_bidir is an unbiased estimator of the same image integral:
+    its bootstrap mean brightness must match the unidirectional estimator and
+    the plain path render on the diffuse Cornell (SURVEY §3.5 MLT parity —
+    now with camera+light subpaths and balance-heuristic MIS)."""
+    import jax
+    import jax.numpy as jnp
+    from grail.scene.presets import cornell_box
+    from grail.engine.metropolis import (MLTConfig, eval_path,
+                                         eval_path_bidir)
+    from grail.core import rng as rngmod
+    from grail.core.spectrum import luminance
+
+    scene, meta, _ = cornell_box(xres=32, yres=32, spp=4, with_boxes=False)
+    cfg_b = MLTConfig(max_depth=3, bidirectional=True)
+    cfg_u = MLTConfig(max_depth=3, bidirectional=False)
+    nb = 8192
+
+    def mean_L(cfg, evalf, seed):
+        pix = jnp.arange(nb, dtype=jnp.uint32) ^ jnp.uint32(seed)
+        samp = jnp.zeros(nb, jnp.uint32)
+        u = jnp.stack([rngmod.sample_1d(
+            rngmod.SamplerConfig(kind=rngmod.RANDOM), pix, samp, dcol)
+            for dcol in range(cfg.dim)], axis=1)
+        L, _, _ = evalf(scene, meta, cfg, u)
+        return float(jnp.mean(luminance(L)))
+
+    b_bi = mean_L(cfg_b, jax.jit(eval_path_bidir, static_argnums=(1, 2)), 7)
+    b_un = mean_L(cfg_u, jax.jit(eval_path, static_argnums=(1, 2)), 7)
+    assert abs(b_bi - b_un) / max(b_un, 1e-9) < 0.12, (b_bi, b_un)
+
+
+def test_mlt_bidir_render_converges():
+    """Full bidirectional MLT render approximates the path render (both at
+    modest sample counts; 12% mean tolerance)."""
+    import numpy as np
+    from grail.scene.presets import cornell_box
+    from grail.engine.metropolis import MLTConfig, render_mlt
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+
+    scene, meta, _ = cornell_box(xres=24, yres=24, spp=4, with_boxes=False)
+    img_p, _ = render(scene, meta,
+                      IntegratorConfig(kind="path", max_depth=3), spp=48)
+    cfg = MLTConfig(max_depth=3, bidirectional=True, n_chains=2048,
+                    n_bootstrap=4096, mutations_per_wave=8)
+    img_m, _ = render_mlt(scene, meta, cfg, n_waves=6)
+    img_p = np.asarray(img_p)
+    img_m = np.asarray(img_m)
+    assert np.isfinite(img_m).all()
+    rel = abs(img_m.mean() - img_p.mean()) / img_p.mean()
+    assert rel < 0.12, rel
