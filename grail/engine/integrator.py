@@ -245,11 +245,18 @@ def _detach(x):
 
 
 def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
-                    u_light, u_tri, u_comp, u_dir, active, time=None):
+                    u_light, u_tri, u_comp, u_dir, active, time=None,
+                    bsdf_branch=True):
     """One-light direct lighting with MIS (pbrt integrator.cpp EstimateDirect).
 
     light_idx (N,): chosen light row; light_pmf (N,): its selection probability.
     Returns Ld (N,3) already divided by light_pmf.
+
+    bsdf_branch=False drops the BSDF-sampling branch (and its traversal): the
+    path integrator covers that strategy by REUSING its continuation ray — the
+    next bounce's hit/escape adds MIS-weighted emission (path-vertex reuse;
+    one closest-hit traversal per bounce instead of two). Whitted/direct/igi
+    and the utility integrators keep the classic two-branch form.
     """
     present = meta.lobe_types
     p = sg["p"]
@@ -284,7 +291,7 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
 
     # ---- BSDF-sampling branch (non-delta lights only; pbrt EstimateDirect part 2)
     sampleable = (lt.AREA in meta.light_types) or (lt.INFINITE in meta.light_types)
-    if sampleable:
+    if sampleable and bsdf_branch:
         bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp, present,
                             tables=scene.get("brdf_tables", ()),
                             include_specular=False)
@@ -351,8 +358,15 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
     lets the compacted tail phase re-instantiate the body at a narrower width
     with gathered sampler coordinates (SURVEY §2.10 P8)."""
 
+    # path-vertex reuse (path kind only): the continuation BSDF sample serves
+    # as the MIS-BSDF strategy — emission found at the NEXT hit (or env
+    # escape) is added with the power-heuristic weight against the light
+    # strategy, instead of estimate_direct tracing a second closest-hit ray
+    # per bounce. Whitted/direct/igi keep the classic two-branch form.
+    path_reuse = cfg.kind == "path"
+
     def bounce_body(bounce, state):
-        o, d, L, throughput, active, spec_bounce = state
+        o, d, L, throughput, active, spec_bounce, pdf_prev = state
         # peeled bounce 0 passes a CONCRETE int: camera waves arrive in tile
         # order, so skip the ray re-binning for their closest hit
         first = isinstance(bounce, int) and bounce == 0
@@ -385,12 +399,24 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
             L += jnp.where(active[..., None], Lv, 0.0)
             throughput = throughput * jnp.where(active[..., None], T_seg, 1.0)
 
-        # escaped: env radiance only when direct-visible or after specular (pbrt
-        # path.cpp: light->Le summed on miss for specular/0-bounce rays; MIS rays
-        # are handled inside EstimateDirect)
-        L += jnp.where((active & miss & spec_bounce)[..., None],
-                       throughput * lt.escaped_radiance(scene, d, meta.light_types),
-                       0.0)
+        # escaped: env radiance. Camera/specular rays take it unweighted; with
+        # path-vertex reuse, non-specular continuations take it MIS-weighted
+        # against the light strategy's env pdf (the reused BSDF branch of
+        # EstimateDirect part 2)
+        if path_reuse and lt.INFINITE in meta.light_types:
+            w_env = jnp.where(spec_bounce, 1.0, mc.power_heuristic(
+                1.0, pdf_prev, 1.0,
+                lt.env_pdf(scene, scene["env_row"] * jnp.ones((n,), jnp.int32),
+                           d)))
+            L += jnp.where((active & miss)[..., None],
+                           throughput * w_env[..., None]
+                           * lt.escaped_radiance(scene, d, meta.light_types),
+                           0.0)
+        else:
+            L += jnp.where((active & miss & spec_bounce)[..., None],
+                           throughput
+                           * lt.escaped_radiance(scene, d, meta.light_types),
+                           0.0)
         active = active & ~miss
 
         # camdiff is only passed to the peeled bounce-0 body; later bounces
@@ -400,10 +426,24 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
                                              camdiff=camdiff,
                                              is_primary=first, time=time)
 
-        # emitted at hit (area lights), only for camera/specular vertices
+        # emitted at hit (area lights): camera/specular vertices unweighted;
+        # with path-vertex reuse, other vertices MIS-weighted by the light
+        # strategy's per-point solid-angle pdf at this hit
         if lt.AREA in meta.light_types:
-            L += jnp.where((active & spec_bounce)[..., None],
-                           throughput * lt.area_light_emitted(scene, sg, -d), 0.0)
+            if path_reuse:
+                cos_at = dot(sg["ng"], -d)
+                lp = lt.area_light_pdf_dir(scene, jnp.maximum(sg["light"], 0),
+                                           o, d, hit["t"], cos_at)
+                on_light = sg["light"] >= 0
+                w_em = jnp.where(spec_bounce | ~on_light, 1.0,
+                                 mc.power_heuristic(1.0, pdf_prev, 1.0, lp))
+                L += jnp.where(active[..., None],
+                               throughput * w_em[..., None]
+                               * lt.area_light_emitted(scene, sg, -d), 0.0)
+            else:
+                L += jnp.where((active & spec_bounce)[..., None],
+                               throughput
+                               * lt.area_light_emitted(scene, sg, -d), 0.0)
 
         # ---- instant GI: VPL gather (igi.cpp Li indirect term)
         if vpls is not None:
@@ -438,7 +478,7 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
                     rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_LIGHT_TRI)),
                     rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_MIS_COMP)),
                     rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_MIS_DIR)),
-                    active, time=time)
+                    active, time=time, bsdf_branch=not path_reuse)
             L += jnp.where(active[..., None], throughput * Ld, 0.0)
         elif meta.n_lights > 0 and cfg.kind == "whitted":
             # whitted.cpp: sample every light once, no MIS
@@ -483,6 +523,16 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
         throughput = jnp.where(cont_ok[..., None], throughput * contrib, throughput)
         active = active & cont_ok
         spec_bounce = bs["specular"]
+        if path_reuse:
+            # the light strategy's partner pdf for the next hit's emission:
+            # the non-specular average pdf of THIS direction (the same
+            # function EstimateDirect's light branch weighted against)
+            pdf_prev = jnp.where(
+                bs["specular"], 0.0,
+                _detach(bx.bsdf_pdf(lobes, wo_local,
+                                    geom.world_to_local(sg, wi_w),
+                                    meta.lobe_types,
+                                    include_specular=False)))
 
         # ---- Russian roulette (path.cpp: after rr_depth bounces)
         if cfg.kind == "path":
@@ -496,7 +546,7 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
 
         o = sg["p"] + wi_w * sg["ray_eps"][..., None]
         d = wi_w
-        return (o, d, L, throughput, active, spec_bounce)
+        return (o, d, L, throughput, active, spec_bounce, pdf_prev)
 
     return bounce_body
 
@@ -535,6 +585,7 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
     z0 = zero3[:, 0]
     active = (z0 == 0.0) | (z0 != 0.0)         # all True (even NaN lanes), varying like o
     spec_bounce = active                       # bounce-0 emission counts
+    pdf_prev = z0 + 1.0                        # camera "pdf" (unused at b0)
 
     if cfg.kind == "ao":
         return _ao_li(scene, meta, cfg, rays, pix, samp)
@@ -561,7 +612,7 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
                               time=time)
     body = _make_bounce_body(scene, meta, cfg, pix, samp, None,
                              n, vpls, has_media, time=time)
-    state = (o, d, L, throughput, active, spec_bounce)
+    state = (o, d, L, throughput, active, spec_bounce, pdf_prev)
 
     occ = jnp.zeros((max_depth + 1,), jnp.float32) if with_stats else None
 
@@ -573,63 +624,76 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
     if with_stats:
         occ = occ.at[0].set(jnp.sum(active.astype(jnp.float32)))
     state = body0(0, state)
+    del body, body_occ   # the tail builds width-specific bodies
 
-    # compaction split point: the iteration after the first Russian roulette
+    # ---- multi-split wavefront compaction (SURVEY §2.10 P8, generalized).
+    # The wavefront goes dark fast (mesh scene occupancy entering bounces:
+    # 1.0, 0.62, 0.19, 0.08, ...), so the tail repacks survivors at SEVERAL
+    # static split points, each with an overflow guard: a wave whose live
+    # count exceeds a split's capacity skips THAT split and retries the next
+    # one (so a bright scene like the closed Cornell still compacts after
+    # Russian roulette while the open mesh scene compacts from bounce 2).
+    # Packing uses the stable take-list (cumsum+searchsorted); the estimator
+    # is bitwise exact either way.
     k = min(cfg.rr_depth + 1, max_depth + 1)
-    cap = (int(n * cfg.compact_frac) // 1024) * 1024
-    use_compact = (cfg.compact and cfg.kind == "path"
-                   and n >= cfg.compact_min and k < max_depth + 1
-                   and cap >= 1024)
-    if not use_compact:
-        if with_stats:
-            state, occ = jax.lax.fori_loop(1, max_depth + 1, body_occ,
-                                           (state, occ))
-            return state[2] * rays["weight"][..., None], occ
-        state = jax.lax.fori_loop(1, max_depth + 1, body, state)
-        return state[2] * rays["weight"][..., None]
+    splits = []
+    if cfg.compact and cfg.kind == "path" and n >= cfg.compact_min:
+        if k > 2 and max_depth + 1 > 2:
+            early = (int(n * min(0.5, 4.0 * cfg.compact_frac)) // 1024) * 1024
+            if early >= 1024:
+                splits.append((2, early))
+        if k < max_depth + 1:
+            cap = (int(n * cfg.compact_frac) // 1024) * 1024
+            if cap >= 1024:
+                splits.append((k, cap))
 
-    if with_stats:
-        # the probe measures the SAME compacted program production runs
-        state, occ = jax.lax.fori_loop(1, k, body_occ, (state, occ))
-    else:
-        state = jax.lax.fori_loop(1, k, body, state)
-    o1, d1, L1, thr1, act1, spec1 = state
-    take, count = _compaction_take(act1, cap)
+    def tail(st, oc, pix_t, samp_t, time_t, width, from_b, splits):
+        bodyw = _make_bounce_body(scene, meta, cfg, pix_t, samp_t, None,
+                                  width, vpls, has_media, time=time_t)
 
-    def compacted(_):
-        gidx = jnp.minimum(take, n - 1)
-        live = jnp.arange(cap, dtype=jnp.int32) < count
-        g = lambda a: a[gidx]
-        sub_state = (g(o1), g(d1), g(L1), g(thr1), g(act1) & live, g(spec1))
-        sub_time = None if time is None else time[gidx]
-        sub_body = _make_bounce_body(scene, meta, cfg, pix[gidx], samp[gidx],
-                                     None, cap, vpls, has_media, time=sub_time)
-        if with_stats:
-            def sub_occ(b, carry):
-                st, oc = carry
-                oc = oc.at[b].set(jnp.sum(st[4].astype(jnp.float32)))
-                return sub_body(b, st), oc
-            sub_state, oc = jax.lax.fori_loop(k, max_depth + 1, sub_occ,
-                                              (sub_state, occ))
-        else:
-            sub_state = jax.lax.fori_loop(k, max_depth + 1, sub_body,
-                                          sub_state)
-            oc = occ
-        # dead take entries are index n → dropped by the scatter, so a live
-        # lane aliased by the gather clip can never be overwritten
-        return L1.at[take].set(sub_state[2], mode="drop"), oc
+        def bodyw_occ(b, carry):
+            s2, o2 = carry
+            o2 = o2.at[b].set(jnp.sum(s2[4].astype(jnp.float32)))
+            return bodyw(b, s2), o2
 
-    def full_width(_):
-        if with_stats:
-            st, oc = jax.lax.fori_loop(k, max_depth + 1, body_occ,
-                                       (state, occ))
+        def run(st, oc, b0, b1):
+            if b0 >= b1:
+                return st, oc
+            if with_stats:
+                return jax.lax.fori_loop(b0, b1, bodyw_occ, (st, oc))
+            return jax.lax.fori_loop(b0, b1, bodyw, st), oc
+
+        # next applicable split (capacity must shrink the width)
+        while splits and (splits[0][0] < from_b or splits[0][1] >= width):
+            splits = splits[1:]
+        if not splits:
+            st, oc = run(st, oc, from_b, max_depth + 1)
             return st[2], oc
-        return jax.lax.fori_loop(k, max_depth + 1, body, state)[2], occ
+        sb, cap = splits[0]
+        st, oc = run(st, oc, from_b, sb)
+        take, count = _compaction_take(st[4], cap)
 
+        def fit(_):
+            gidx = jnp.minimum(take, width - 1)
+            live = jnp.arange(cap, dtype=jnp.int32) < count
+            g = lambda a: a[gidx]
+            sub = (g(st[0]), g(st[1]), g(st[2]), g(st[3]),
+                   g(st[4]) & live, g(st[5]), g(st[6]))
+            sub_t = None if time_t is None else time_t[gidx]
+            subL, oc2 = tail(sub, oc, pix_t[gidx], samp_t[gidx], sub_t,
+                             cap, sb, splits[1:])
+            # dead take entries are index `width` → dropped by the scatter,
+            # so a live lane aliased by the gather clip is never overwritten
+            return st[2].at[take].set(subL, mode="drop"), oc2
+
+        def over(_):
+            return tail(st, oc, pix_t, samp_t, time_t, width, sb, splits[1:])
+
+        return jax.lax.cond(count <= cap, fit, over, None)
+
+    L, occ = tail(state, occ, pix, samp, time, n, 1, splits)
     if with_stats:
-        L, occ = jax.lax.cond(count <= cap, compacted, full_width, None)
         return L * rays["weight"][..., None], occ
-    L, _ = jax.lax.cond(count <= cap, compacted, full_width, None)
     return L * rays["weight"][..., None]
 
 

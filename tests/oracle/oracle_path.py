@@ -293,6 +293,7 @@ def path_radiance(sc, pix, samp, xres, max_depth=5, rr_depth=3, seed=0):
     thr = np.ones((n, 3))
     active = np.ones(n, bool)
     spec = np.ones(n, bool)
+    pdf_prev = np.ones(n)
     emit = sc["light_emit"]
     kd_all = sc["mat_kd"]
     area_total = sc["light_area"]
@@ -306,11 +307,17 @@ def path_radiance(sc, pix, samp, xres, max_depth=5, rr_depth=3, seed=0):
         kd = kd_all[sc["tri_mat"][np.maximum(prim, 0)]]
         wo_local = _to_local(sg, -d)
 
-        # emitted at hit (camera/specular vertices only)
+        # emitted at hit — path-vertex reuse: camera/specular vertices
+        # unweighted, others MIS-weighted against the light strategy's
+        # per-point solid-angle pdf (grail integrator.py path_reuse)
         li_row = sc["tri_light"][np.maximum(prim, 0)]
         facing = _dot(sg["ng"], -d) > 0.0
-        add = active & spec & (li_row >= 0) & facing
-        L += np.where(add[:, None], thr * emit, 0.0)
+        cos_at = _dot(sg["ng"], -d)
+        lp = (t * t) / np.maximum(np.abs(cos_at) * area_total, 1e-12)
+        on_light = li_row >= 0
+        w_em = np.where(spec | ~on_light, 1.0, power_heuristic(pdf_prev, lp))
+        add = active & on_light & facing
+        L += np.where(add[:, None], thr * emit * w_em[:, None], 0.0)
 
         # ---- estimate_direct (one light, pmf=1)
         u1, u2 = sample_2d(pix, samp, _bdim(b, D_LIGHT_POS), seed)
@@ -349,33 +356,12 @@ def path_radiance(sc, pix, samp, xres, max_depth=5, rr_depth=3, seed=0):
                       f_l * rad * (cos_l * w_l
                                    / np.maximum(pdf_l, 1e-12))[:, None], 0.0)
 
-        # BSDF-sampling MIS branch
-        um1, um2 = sample_2d(pix, samp, _bdim(b, D_MIS_DIR), seed)
-        wi_c = cosine_sample_hemisphere(um1, um2)
-        sign = np.where(wo_local[:, 2] > 0.0, 1.0, -1.0)
-        wi_c = wi_c * np.stack([np.ones(n), np.ones(n), sign], -1)
-        f_b = kd * INV_PI    # same hemisphere by construction
-        pdf_b = np.abs(wi_c[:, 2]) * INV_PI
-        wi_w = _to_world(sg, wi_c)
-        cos_b = np.abs(_dot(wi_w, sg["ns"]))
-        can = active & (pdf_b > 0.0)
-        t2, prim2, _, _ = tr.intersect(sg["p"] + wi_w * sg["eps"][:, None],
-                                       wi_w, np.where(can, BIG, 0.0))
-        hit_chosen = (prim2 >= 0) & (sc["tri_light"][np.maximum(prim2, 0)] == 0)
-        ng2 = tr.ng[np.maximum(prim2, 0)]
-        cos_at2 = _dot(ng2, -wi_w)
-        lp = np.where(hit_chosen,
-                      (t2 * t2) / np.maximum(np.abs(cos_at2) * area_total,
-                                             1e-12), 0.0)
-        Le2 = np.where((hit_chosen & (cos_at2 > 0.0))[:, None], emit[None],
-                       0.0)
-        w_b = power_heuristic(pdf_b, lp)
-        Ld += np.where((can & hit_chosen & (lp > 0.0))[:, None],
-                       f_b * Le2 * (cos_b * w_b
-                                    / np.maximum(pdf_b, 1e-12))[:, None], 0.0)
         L += np.where(active[:, None], thr * Ld, 0.0)
 
-        # ---- continuation (cosine sample; matte: never specular)
+        # ---- continuation (cosine sample; matte: never specular). The MIS
+        # BSDF strategy is covered by REUSING this ray: the next bounce's
+        # emission term carries the power-heuristic weight via pdf_prev.
+        sign = np.where(wo_local[:, 2] > 0.0, 1.0, -1.0)
         uc1, uc2 = sample_2d(pix, samp, _bdim(b, D_BSDF_DIR), seed)
         wi_c = cosine_sample_hemisphere(uc1, uc2)
         wi_c = wi_c * np.stack([np.ones(n), np.ones(n), sign], -1)
@@ -388,6 +374,7 @@ def path_radiance(sc, pix, samp, xres, max_depth=5, rr_depth=3, seed=0):
         thr = np.where(cont_ok[:, None], thr * contrib, thr)
         active = active & cont_ok
         spec = np.zeros(n, bool)
+        pdf_prev = np.abs(wi_c[:, 2]) * INV_PI   # non-specular avg pdf
 
         # ---- Russian roulette
         q = np.where(b >= rr_depth, np.minimum(0.5, luminance(thr)), 1.0)
