@@ -67,8 +67,12 @@ def main():
     if "--json" in sys.argv:
         out = sys.argv[sys.argv.index("--json") + 1]
         with open(out, "w") as f:
+            note = ("PLUMBING-ONLY when devices are virtual CPU shards of "
+                    "fewer physical cores: wall stays flat by construction; "
+                    "efficiency_vs_linear is NOT a hardware-scaling claim")
             json.dump({"backend": jax.default_backend(),
                        "n_devices_total": len(devs),
+                       "note": note,
                        "res": xres, "spp": spp, "rows": rows}, f, indent=1)
         print(f"wrote {out}")
 
