@@ -40,6 +40,21 @@ def _bench_scene(make_scene, spp, max_depth):
     return meta.xres * meta.yres * spp / dt
 
 
+def _retry(fn, attempts=3, wait=90):
+    """The experimental axon TPU tunnel intermittently faults
+    (FailedPrecondition/InvalidArgument) and recovers after a pause; retry so
+    one transient fault doesn't lose the whole recording."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:      # noqa: BLE001
+            last = e
+            if i + 1 < attempts:
+                time.sleep(wait)
+    raise last
+
+
 def _previous_value():
     """Most recent BENCH_r*.json primary value (handles r1 and r01 naming)."""
     best = None
@@ -119,14 +134,14 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "16"))
     max_depth = int(os.environ.get("BENCH_DEPTH", "5"))
 
-    cornell_rps = _bench_scene(
-        lambda: cornell_box(xres=xres, yres=yres, spp=spp), spp, max_depth)
-    mesh_rps = _bench_scene(
-        lambda: mesh_scene(xres=xres, yres=yres, spp=spp), spp, max_depth)
+    cornell_rps = _retry(lambda: _bench_scene(
+        lambda: cornell_box(xres=xres, yres=yres, spp=spp), spp, max_depth))
+    mesh_rps = _retry(lambda: _bench_scene(
+        lambda: mesh_scene(xres=xres, yres=yres, spp=spp), spp, max_depth))
 
     extras = {}
     try:
-        extras.update(_traversal_micro())
+        extras.update(_retry(_traversal_micro))
     except Exception as e:      # noqa: BLE001 — bench must still print
         extras["micro_error"] = str(e)[:200]
     try:
@@ -139,9 +154,10 @@ def main():
         extras["occupancy_error"] = str(e)[:200]
     if os.environ.get("BENCH_SKIP_1M", "0") != "1":
         try:
-            extras["mesh1m_rays_per_sec"] = round(_bench_scene(
-                lambda: mesh_scene_1m(xres=xres, yres=yres, spp=4), 4,
-                max_depth), 1)
+            extras["mesh1m_rays_per_sec"] = round(_retry(
+                lambda: _bench_scene(
+                    lambda: mesh_scene_1m(xres=xres, yres=yres, spp=4), 4,
+                    max_depth)), 1)
         except Exception as e:  # noqa: BLE001
             extras["mesh1m_error"] = str(e)[:200]
 

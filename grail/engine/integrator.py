@@ -638,7 +638,11 @@ def li(scene, meta, cfg: IntegratorConfig, rays, pix, samp, with_stats=False):
     k = min(cfg.rr_depth + 1, max_depth + 1)
     splits = []
     if cfg.compact and cfg.kind == "path" and n >= cfg.compact_min:
-        if k > 2 and max_depth + 1 > 2:
+        # the pre-RR split only pays for OPEN scenes where the wavefront goes
+        # dark before Russian roulette (mesh/env scenes, which also use the
+        # stream BVH); closed interiors (Cornell: ~0.97 occupancy at bounce 2)
+        # would always overflow it and pay the take-list for nothing
+        if k > 2 and max_depth + 1 > 2 and isect._use_stream(scene):
             early = (int(n * min(0.5, 4.0 * cfg.compact_frac)) // 1024) * 1024
             if early >= 1024:
                 splits.append((2, early))
