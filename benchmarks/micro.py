@@ -123,6 +123,28 @@ def main():
     timeit("estimate_direct (2 traversals)", ed_stage, sg, lobes, wo_local,
            pix, samp, n_rays=n)
 
+    # ---- material-sorted megabatch pass (shade/megabatch.py): the fused
+    # light-branch f/pdf + continuation sample + reuse-pdf over the sorted
+    # queue — the production path's per-bounce BSDF work in one visit
+    from grail.shade.megabatch import megabatch_shade
+    from grail.shade import geometry as geomod, lights as lmod
+
+    @jax.jit
+    def mb_stage(sg, wo_local, pix, samp):
+        active = jnp.ones((n,), bool)
+        lidx, _ = _pick_light(scene, meta, cfg_p, pix, samp, 0, active)
+        u2d = rngmod.sample_2d(meta.sampler, pix, samp, 10)
+        u3 = rngmod.sample_1d(meta.sampler, pix, samp, 11)
+        ls = lmod.sample_li(scene, lidx, sg["p"], u2d[0], u2d[1], u3,
+                            meta.light_types, meta.light_image_rows)
+        wil = geomod.world_to_local(sg, ls["wi"])
+        ub = rngmod.sample_2d(meta.sampler, pix, samp, 12)
+        uc = rngmod.sample_1d(meta.sampler, pix, samp, 13)
+        return megabatch_shade(scene, meta, sg, wo_local, wil, ub[0], ub[1],
+                               uc, active)
+    timeit("megabatch shade (sorted, fused)", mb_stage, sg, wo_local, pix,
+           samp, n_rays=n)
+
     # ---- film scatter-add
     film = flm.new_film(meta.xres, meta.yres)
     L = jnp.ones((n, 3), jnp.float32)

@@ -65,6 +65,16 @@ class IntegratorConfig:
     compact_frac: float = 0.25    # tail capacity (Cornell occupancy after the
     # first RR is ~4%; a wave overflowing the cap falls back to full width)
     compact_min: int = 8192       # lane count below which compaction is skipped
+    # material-sorted megabatch shading (SURVEY §2.5 TPU-equiv; shade/
+    # megabatch.py): counting-sort the shade queue by material id each bounce
+    # and run per-material-SPECIALIZED texture+lobe kernels over uniform
+    # blocks. Bitwise-equal to the masked path. DEFAULT OFF: measured on TPU
+    # v5e the in-graph permutes cost ~10x the whole shading pass they would
+    # specialize (see shade/megabatch.py header for the numbers) — the masked
+    # path is already compile-time specialized over the scene's static sets.
+    mat_sort: bool = False
+    mat_sort_min: int = 16384
+    mat_block: int = 8192         # sorted-queue block size (lanes per switch)
     light_strategy: str = "one"   # one (uniform) | power | all
     ao_samples: int = 1
     ao_maxdist: float = 1.0e7
@@ -162,9 +172,11 @@ def scene_intersect_p(scene, meta, o, d, tmax, tmin=None, time=None):
                            time=time)["prim"] >= 0
 
 
-def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None,
-                   zero_duv=False, time=None):
-    """Common post-hit work: shading geometry, bump, textures, lobes, local wo.
+def _shade_geom(scene, meta, hit, o, d, camdiff=None, is_primary=None,
+                zero_duv=False, time=None):
+    """Material-independent post-hit work: shading geometry, differentials,
+    bump. The material-sorted megabatch path stops here and defers textures
+    and lobes to the per-material-specialized sorted pass.
 
     camdiff: optional (rx_o, rx_d, ry_o, ry_d) camera differential rays;
     is_primary: traced bool scalar — uv screen derivatives are computed only
@@ -184,6 +196,15 @@ def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None,
         sg["duvdy"] = z
     if getattr(meta, "has_bump", False):
         sg = _apply_bump(scene, meta, sg)
+    return sg
+
+
+def _shade_context(scene, meta, hit, o, d, camdiff=None, is_primary=None,
+                   zero_duv=False, time=None):
+    """Common post-hit work: shading geometry, bump, textures, lobes, local
+    wo — the unsorted (masked, all-materials) path."""
+    sg = _shade_geom(scene, meta, hit, o, d, camdiff=camdiff,
+                     is_primary=is_primary, zero_duv=zero_duv, time=time)
     tex_values = eval_textures(meta.tex_specs, scene["tex_data"], sg,
                                scene.get("images", ()),
                                scene.get("mipmaps", ()))
@@ -246,7 +267,7 @@ def _detach(x):
 
 def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
                     u_light, u_tri, u_comp, u_dir, active, time=None,
-                    bsdf_branch=True):
+                    bsdf_branch=True, precomputed=None, ls=None):
     """One-light direct lighting with MIS (pbrt integrator.cpp EstimateDirect).
 
     light_idx (N,): chosen light row; light_pmf (N,): its selection probability.
@@ -257,17 +278,25 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
     next bounce's hit/escape adds MIS-weighted emission (path-vertex reuse;
     one closest-hit traversal per bounce instead of two). Whitted/direct/igi
     and the utility integrators keep the classic two-branch form.
+
+    precomputed: optional (f_l, bsdf_pdf_l) from the material-sorted megabatch
+    pass — the light-branch BSDF values for the light sample `ls` (which must
+    then also be supplied); lobes/wo_local are unused in that case.
     """
     present = meta.lobe_types
     p = sg["p"]
     eps = sg["ray_eps"]
 
     # ---- light-sampling branch
-    ls = lt.sample_li(scene, light_idx, p, u_light[0], u_light[1], u_tri,
-                      meta.light_types, meta.light_image_rows)
-    wi_l = geom.world_to_local(sg, ls["wi"])
-    f_l = bx.bsdf_f(lobes, wo_local, wi_l, present, include_specular=False,
-                    tables=scene.get("brdf_tables", ()))
+    if ls is None:
+        ls = lt.sample_li(scene, light_idx, p, u_light[0], u_light[1], u_tri,
+                          meta.light_types, meta.light_image_rows)
+    if precomputed is not None:
+        f_l, bsdf_pdf_l = precomputed
+    else:
+        wi_l = geom.world_to_local(sg, ls["wi"])
+        f_l = bx.bsdf_f(lobes, wo_local, wi_l, present, include_specular=False,
+                        tables=scene.get("brdf_tables", ()))
     cos_l = absdot(ls["wi"], sg["ns"])
     contrib_possible = active & (ls["pdf"] > 0.0) & (cos_l > 0.0) \
         & jnp.any(ls["radiance"] > 0.0, axis=-1) & jnp.any(f_l > 0.0, axis=-1)
@@ -281,7 +310,9 @@ def estimate_direct(scene, meta, sg, lobes, wo_local, light_idx, light_pmf,
         from ..shade import media as med
         radiance = radiance * med.transmittance(
             scene, meta, p, ls["wi"], ls["dist"], jnp.full_like(cos_l, 0.5))
-    bsdf_pdf_l = bx.bsdf_pdf(lobes, wo_local, wi_l, present, include_specular=False)
+    if precomputed is None:
+        bsdf_pdf_l = bx.bsdf_pdf(lobes, wo_local, wi_l, present,
+                                 include_specular=False)
     w_l = jnp.where(ls["delta"], 1.0,
                     mc.power_heuristic(1.0, ls["pdf"], 1.0, bsdf_pdf_l))
     Ld = jnp.where(
@@ -364,6 +395,11 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
     # strategy, instead of estimate_direct tracing a second closest-hit ray
     # per bounce. Whitted/direct/igi keep the classic two-branch form.
     path_reuse = cfg.kind == "path"
+    # material-sorted megabatch shading (shade/megabatch.py): bitwise-equal,
+    # so gated purely on profitability (enough lanes to amortize the sort)
+    use_mb = (path_reuse and cfg.mat_sort
+              and len(getattr(meta, "mat_specs", ())) > 0
+              and n >= cfg.mat_sort_min and cfg.light_strategy != "all")
 
     def bounce_body(bounce, state):
         o, d, L, throughput, active, spec_bounce, pdf_prev = state
@@ -422,9 +458,15 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
         # camdiff is only passed to the peeled bounce-0 body; later bounces
         # carry no ray differentials (pbrt: RayDifferentials exist on camera
         # rays only) and take the cheap finest-level bilinear texture path
-        sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d,
-                                             camdiff=camdiff,
-                                             is_primary=first, time=time)
+        if use_mb:
+            sg = _shade_geom(scene, meta, hit, o, d, camdiff=camdiff,
+                             is_primary=first, time=time)
+            wo_local = geom.world_to_local(sg, -d)
+            lobes = None
+        else:
+            sg, lobes, wo_local = _shade_context(scene, meta, hit, o, d,
+                                                 camdiff=camdiff,
+                                                 is_primary=first, time=time)
 
         # emitted at hit (area lights): camera/specular vertices unweighted;
         # with path-vertex reuse, other vertices MIS-weighted by the light
@@ -452,8 +494,43 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
                                   active)
             L += jnp.where(active[..., None], throughput * Lv_igi, 0.0)
 
+        # ---- material-sorted megabatch pass: ONE sorted visit computes the
+        # light-branch f/pdf, the continuation sample, and the reuse-MIS
+        # partner pdf for the whole wave (same RNG dims as the unsorted path;
+        # counter-based draws make the order immaterial)
+        if use_mb:
+            u_dir = rngmod.sample_2d(meta.sampler, pix, samp,
+                                     _bdim(bounce, _D_BSDF_DIR))
+            u_comp = rngmod.sample_1d(meta.sampler, pix, samp,
+                                      _bdim(bounce, _D_BSDF_COMP))
+            if meta.n_lights > 0:
+                lidx, pmf = _pick_light(scene, meta, cfg, pix, samp, bounce,
+                                        active)
+                u2d_l = rngmod.sample_2d(meta.sampler, pix, samp,
+                                         _bdim(bounce, _D_LIGHT_POS))
+                u_tri_l = rngmod.sample_1d(meta.sampler, pix, samp,
+                                           _bdim(bounce, _D_LIGHT_TRI))
+                ls_mb = lt.sample_li(scene, lidx, sg["p"], u2d_l[0], u2d_l[1],
+                                     u_tri_l, meta.light_types,
+                                     meta.light_image_rows)
+                wi_l_mb = geom.world_to_local(sg, ls_mb["wi"])
+            else:
+                ls_mb = None
+                wi_l_mb = wo_local
+            from ..shade.megabatch import megabatch_shade
+            mb = megabatch_shade(scene, meta, sg, wo_local, wi_l_mb,
+                                 u_dir[0], u_dir[1], u_comp, active,
+                                 block=cfg.mat_block)
+
         # ---- direct lighting
-        if meta.n_lights > 0 and cfg.kind != "whitted":
+        if use_mb and meta.n_lights > 0:
+            Ld = estimate_direct(scene, meta, sg, None, None, lidx, pmf,
+                                 None, None, None, None, active, time=time,
+                                 bsdf_branch=False,
+                                 precomputed=(mb["f_l"], mb["pdf_l"]),
+                                 ls=ls_mb)
+            L += jnp.where(active[..., None], throughput * Ld, 0.0)
+        elif meta.n_lights > 0 and cfg.kind != "whitted":
             if cfg.light_strategy == "all":
                 Ld = jnp.zeros((n, 3), jnp.float32)
                 for lrow in range(meta.n_lights):
@@ -509,12 +586,19 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
 
         # ---- continuation: sample BSDF (a no-op for the final iteration: the
         # loop exits before the next intersect, so only dead state is written)
-        u_dir = rngmod.sample_2d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_DIR))
-        u_comp = rngmod.sample_1d(meta.sampler, pix, samp, _bdim(bounce, _D_BSDF_COMP))
-        bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp,
-                            meta.lobe_types, include_specular=True,
-                            tables=scene.get("brdf_tables", ()))
-        wi_w = geom.local_to_world(sg, bs["wi"])
+        if use_mb:
+            bs = {"f": mb["f"], "pdf": mb["pdf"], "specular": mb["spec"],
+                  "valid": mb["valid"]}
+            wi_w = mb["wi_w"]
+        else:
+            u_dir = rngmod.sample_2d(meta.sampler, pix, samp,
+                                     _bdim(bounce, _D_BSDF_DIR))
+            u_comp = rngmod.sample_1d(meta.sampler, pix, samp,
+                                      _bdim(bounce, _D_BSDF_COMP))
+            bs = bx.bsdf_sample(lobes, wo_local, u_dir[0], u_dir[1], u_comp,
+                                meta.lobe_types, include_specular=True,
+                                tables=scene.get("brdf_tables", ()))
+            wi_w = geom.local_to_world(sg, bs["wi"])
         cos_c = absdot(wi_w, sg["ns"])
         contrib = bs["f"] * (cos_c / _detach(jnp.maximum(bs["pdf"], 1e-12)))[..., None]
         cont_ok = bs["valid"] & jnp.any(bs["f"] != 0.0, axis=-1)
@@ -529,7 +613,8 @@ def _make_bounce_body(scene, meta, cfg, pix, samp, camdiff, n, vpls, has_media,
             # function EstimateDirect's light branch weighted against)
             pdf_prev = jnp.where(
                 bs["specular"], 0.0,
-                _detach(bx.bsdf_pdf(lobes, wo_local,
+                _detach(mb["pdf_prev_nospec"] if use_mb else
+                        bx.bsdf_pdf(lobes, wo_local,
                                     geom.world_to_local(sg, wi_w),
                                     meta.lobe_types,
                                     include_specular=False)))

@@ -47,6 +47,12 @@ class SceneMeta:
     light_image_rows: Tuple[Tuple[int, int], ...] = ()   # (light_row, image_id)
     alpha_rows: Tuple[int, ...] = ()    # alpha-cutout texture rows in use
     crop: Tuple[float, float, float, float] = (0.0, 1.0, 0.0, 1.0)
+    # static per-material lobe stacks for material-sorted megabatch shading
+    # (SURVEY §2.5 TPU-equiv: shade queue partitioned by material type, each
+    # type's kernel specialized over its segment). Per material: a tuple of
+    # per-slot tuples (lobe_type, fr, s0, s1, s2, f0, f1, f2, f0_conv,
+    # f1_conv) — the SAME ints as the scene["materials"] device table rows.
+    mat_specs: Tuple[Tuple[Tuple[int, ...], ...], ...] = ()
 
 
 def _motion_bounds(m0, m1, omin, omax, steps=16):
@@ -449,7 +455,9 @@ class SceneBuilder:
         fields = {f: np.zeros((M, K), np.int32) for f in
                   ("lobe_type", "fr", "s0", "s1", "s2", "f0", "f1", "f2",
                    "f0_conv", "f1_conv")}
+        mat_specs = []
         for mi, row in enumerate(self.mat_rows):
+            slots = []
             for ki, lobe in enumerate(row):
                 fields["lobe_type"][mi, ki] = lobe.get("type", bx.NONE)
                 fields["fr"][mi, ki] = lobe.get("fr", bx.FR_NOOP)
@@ -457,6 +465,10 @@ class SceneBuilder:
                     fields[slot][mi, ki] = lobe.get(slot, zero_tex)
                 fields["f0_conv"][mi, ki] = lobe.get("f0_conv", CONV_ID)
                 fields["f1_conv"][mi, ki] = lobe.get("f1_conv", CONV_ID)
+                slots.append(tuple(int(fields[f][mi, ki]) for f in
+                                   ("lobe_type", "fr", "s0", "s1", "s2",
+                                    "f0", "f1", "f2", "f0_conv", "f1_conv")))
+            mat_specs.append(tuple(slots))
         scene["materials"] = {k: jnp.asarray(v) for k, v in fields.items()}
         bump_arr = np.full(M, -1, np.int32)
         for mi, bt in enumerate(self.mat_bump):
@@ -727,5 +739,6 @@ class SceneBuilder:
                    for arr in ob["tri_alpha"]
                    for a in np.unique(arr) if a >= 0})),
             crop=tuple(float(c) for c in self.crop),
+            mat_specs=tuple(mat_specs),
         )
         return scene, meta

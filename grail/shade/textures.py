@@ -181,13 +181,19 @@ def mapped_p3(w2t, sg):
 
 
 # ------------------------------------------------------------------------ eval engine
-def eval_textures(tex_specs, tex_data, sg, images=(), mipmaps=()):
-    """Evaluate the whole (topologically ordered) texture table at shade points.
+def eval_textures(tex_specs, tex_data, sg, images=(), mipmaps=(), needed=None,
+                  as_dict=False):
+    """Evaluate the (topologically ordered) texture table at shade points.
 
     tex_specs: tuple[TexSpec] (static); tex_data: dict with
       const (NT,3) differentiable row params, w2t (NT,4,4) world→texture transforms.
     images: tuple of (H,W,3) jnp arrays for kind=image rows.
-    Returns values (NT, N, 3); float textures use channel 0 (stored replicated).
+    needed: optional static set of row indices — only these rows (whose input
+    closure the caller must include) are evaluated; others are skipped
+    entirely. With as_dict=True returns {row: (N,3)} of evaluated rows (the
+    material-sorted megabatch path, which wants no (NT,N,3) stack); otherwise
+    returns values (NT, N, 3) with skipped rows as broadcast zeros. Float
+    textures use channel 0 (stored replicated).
     """
     n = sg["p"].shape[0]
     vals = []
@@ -196,6 +202,9 @@ def eval_textures(tex_specs, tex_data, sg, images=(), mipmaps=()):
         return vals[i]
 
     for row, spec in enumerate(tex_specs):
+        if needed is not None and row not in needed:
+            vals.append(None)
+            continue
         w2t = tex_data["w2t"][row]
         if spec.kind == "const":
             v = jnp.broadcast_to(tex_data["const"][row], (n, 3))
@@ -258,6 +267,11 @@ def eval_textures(tex_specs, tex_data, sg, images=(), mipmaps=()):
         else:
             raise ValueError(f"unknown texture kind {spec.kind}")
         vals.append(v)
+    if as_dict:
+        return {row: v for row, v in enumerate(vals) if v is not None}
+    if needed is not None:
+        z = jnp.zeros((n, 3), jnp.float32)
+        vals = [z if v is None else v for v in vals]
     if not vals:
         return jnp.zeros((0, n, 3), jnp.float32)
     return jnp.stack(vals, axis=0)
