@@ -18,7 +18,28 @@ sys.path.insert(0, os.path.dirname(__file__))
 from test_golden import SCENES, GOLDEN_DIR, render_scene  # noqa: E402
 
 
+def regen_mlt_reference():
+    """Re-render the 192-spp path reference for the MLT caustic validation
+    (the independent estimator committed as goldens/mlt_path_reference.exr;
+    see test_render.py::test_mlt_caustic_scene_matches_long_path_reference)."""
+    import numpy as np
+    from grail.scene.parser import parse_file
+    from grail.engine.render import render
+    from grail.engine.integrator import IntegratorConfig
+    from grail.engine.imageio import write_image
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    scene, meta, _ = parse_file(os.path.join(root, "scenes", "mlt.pbrt"))
+    img, _ = render(scene, meta,
+                    IntegratorConfig(kind="path", max_depth=5), spp=192)
+    out = os.path.join(GOLDEN_DIR, "mlt_path_reference.exr")
+    write_image(out, np.asarray(img))
+    print(f"mlt_path_reference: mean={np.asarray(img).mean():.4f} -> {out}")
+
+
 def main():
+    if "--mlt-reference" in sys.argv:
+        regen_mlt_reference()
+        return
     names = sys.argv[1:] or sorted(SCENES)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     from grail.engine.imageio import write_image
