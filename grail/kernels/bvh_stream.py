@@ -84,8 +84,16 @@ def build_stream_records(bvh, tris9_ordered, prim_map=None):
     prim_ids}. tris9_ordered: (T,9) [v0|e1|e2] already re-ordered by
     bvh["prim_ids"] (leaf order). prim_map: optional local→global prim id
     remap (clustered tables emit GLOBAL ids so the hit record and backward
-    recompute index the global triangle array). Returns (R,10) float32
+    recompute index the global triangle array). Returns (R,11) float32
     records, R = #interior + T (leaf nodes emit no box record).
+
+    Field 10 is the SKIP LINK: the record id of the first record after this
+    record's subtree (-1 past the end) — the preorder "miss" successor. The
+    ordered stack kernel ignores it; the stackless kernel follows it on a box
+    miss / last-tri advance, so traversal needs no per-stream stack at all
+    (pbrt's bvh.cpp uses a todo[] stack; the skip link is the classic
+    threaded-tree alternative with identical visit semantics, minus the
+    near-child-first ordering).
     """
     right = np.asarray(bvh["right"], np.int64)
     nprims = np.asarray(bvh["nprims"], np.int64)
@@ -101,12 +109,25 @@ def build_stream_records(bvh, tris9_ordered, prim_map=None):
     start = (np.cumsum(interior) - interior) + (np.cumsum(nprims) - nprims)
     total = int(interior.sum()) + T
 
-    recs = np.zeros((total, 10), np.float32)
+    # per-node skip record: DFS with the "next after my subtree" carried down
+    # (left child's skip = right child's start; right child's = parent's)
+    skip = np.full(n, -1, np.int64)
+    stack = [(0, -1)]
+    while stack:
+        i, s = stack.pop()
+        skip[i] = s
+        if not leaf[i]:
+            r = right[i]
+            stack.append((int(r), s))
+            stack.append((i + 1, int(start[r])))
+
+    recs = np.zeros((total, 11), np.float32)
     # box records (interior only): meta = right_child_record*8 + axis
     ii = np.where(~leaf)[0]
     recs[start[ii], 0:3] = np.asarray(bvh["bounds_min"], np.float32)[ii]
     recs[start[ii], 3:6] = np.asarray(bvh["bounds_max"], np.float32)[ii]
     recs[start[ii], 9] = (start[right[ii]] * 8 + axis[ii]).astype(np.float32)
+    recs[start[ii], 10] = skip[ii].astype(np.float32)
     # tri records (per leaf: positions start..start+n-1, sources prim_off+k)
     li = np.where(leaf)[0]
     cnt = nprims[li]
@@ -119,16 +140,18 @@ def build_stream_records(bvh, tris9_ordered, prim_map=None):
     if prim_map is not None:
         emit_ids = np.asarray(prim_map, np.int64)[emit_ids]
     recs[pos, 9] = (emit_ids * 8 + 4 + more).astype(np.float32)
+    recs[pos, 10] = np.repeat(skip[li], cnt).astype(np.float32)
     return recs
 
 
 def pack_record_rows(recs):
-    """(R,10) -> (ceil(R/8), 128) row-packed table (records padded to 16)."""
+    """(R,11) -> (ceil(R/8), 128) row-packed table (records padded to 16)."""
     R = recs.shape[0]
     pad = -R % RECS_PER_ROW
     if pad:
         recs = np.pad(np.asarray(recs), ((0, pad), (0, 0)))
-    recs = np.pad(np.asarray(recs, np.float32), ((0, 0), (0, FIELDS - 10)))
+    nf = recs.shape[1]
+    recs = np.pad(np.asarray(recs, np.float32), ((0, 0), (0, FIELDS - nf)))
     return recs.reshape(-1, RECS_PER_ROW * FIELDS)
 
 
@@ -361,8 +384,141 @@ def _make_kernel(any_hit):
 _KERNELS = {False: _make_kernel(False), True: _make_kernel(True)}
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _run(table, o, d, tmin, tmax, any_hit=False, interpret=False):
+def _make_skip_kernel(any_hit):
+    """Stackless skip-link traversal (record field 10 = preorder miss
+    successor): next id is `id+1` on a box hit / tri-run continue and
+    `skip` otherwise, so each stream carries ONLY its current record id — no
+    SMEM stack chain (measured ~200 ns of the ~790 ns ordered-kernel step).
+    Fixed preorder visit order (no near-child-first): for ANY-HIT occlusion
+    order is irrelevant, and the kernel adds per-stream early exit the
+    ordered kernel lacks — a stream parks as soon as every one of its 128
+    rays has found an occluder. For closest-hit the lost front-to-back
+    pruning costs extra steps; kept selectable for measurement."""
+    def _kernel(tab_ref, ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
+                t_out, prim_out, b1_out, b2_out):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        tmin = tmin_ref[:]
+        inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-20,
+                                    jnp.where(c < 0, -1e-20, 1e-20), c)
+                    for c in d)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        lane_grp = lanes >> 4
+        fmask = [(lanes & 15) == f for f in range(11)]
+
+        def step(c):
+            (ids, t_best, prim_best, b1_best, b2_best) = c
+            rows = [tab_ref[jnp.maximum(ids[s], 0) >> 3, :][None, :]
+                    for s in range(ROWS)]
+            tile = jnp.concatenate(rows, axis=0)            # (8,128)
+            idv = jnp.concatenate(
+                [jnp.full((1, 1), i, jnp.int32) for i in ids], axis=0)
+            gmask = lane_grp == (jnp.maximum(idv, 0) & 7)
+            v = [jnp.sum(jnp.where(gmask & fmask[f], tile, 0.0),
+                         axis=1, keepdims=True) for f in range(11)]
+
+            # ---- box view: slab test
+            tx0 = (v[0] - o[0]) * inv[0]
+            tx1 = (v[3] - o[0]) * inv[0]
+            ty0 = (v[1] - o[1]) * inv[1]
+            ty1 = (v[4] - o[1]) * inv[1]
+            tz0 = (v[2] - o[2]) * inv[2]
+            tz1 = (v[5] - o[2]) * inv[2]
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1)) * 1.0000004
+            box_hit = (near <= far) & (far > tmin) & (near < t_best)
+
+            # ---- tri view: Möller-Trumbore
+            s1x = d[1] * v[8] - d[2] * v[7]
+            s1y = d[2] * v[6] - d[0] * v[8]
+            s1z = d[0] * v[7] - d[1] * v[6]
+            divisor = s1x * v[3] + s1y * v[4] + s1z * v[5]
+            dinv = 1.0 / jnp.where(divisor == 0.0, 1.0, divisor)
+            sx = o[0] - v[0]
+            sy = o[1] - v[1]
+            sz = o[2] - v[2]
+            b1 = (sx * s1x + sy * s1y + sz * s1z) * dinv
+            s2x = sy * v[5] - sz * v[4]
+            s2y = sz * v[3] - sx * v[5]
+            s2z = sx * v[4] - sy * v[3]
+            b2 = (d[0] * s2x + d[1] * s2y + d[2] * s2z) * dinv
+            t = (v[6] * s2x + v[7] * s2y + v[8] * s2z) * dinv
+            tri_hit = ((divisor != 0.0)
+                       & (b1 >= 0.0) & (b1 <= 1.0)
+                       & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                       & (t > tmin) & (t < t_best))
+
+            m = v[9].astype(jnp.int32)                      # (8,1)
+            skipv = v[10].astype(jnp.int32)                 # (8,1)
+            is_tri = (m & 4) > 0
+            active = idv >= 0
+            upd = tri_hit & is_tri & active
+            t_best = jnp.where(upd, t, t_best)
+            prim_best = jnp.where(upd, m >> 3, prim_best)
+            b1_best = jnp.where(upd, b1, b1_best)
+            b2_best = jnp.where(upd, b2, b2_best)
+            if any_hit:
+                t_best = jnp.where(upd, -3.0e37, t_best)
+
+            any_box = jnp.any(box_hit & active & ~is_tri,
+                              axis=1, keepdims=True)        # (8,1)
+            descend = jnp.where(is_tri, (m & 1) > 0, any_box)
+            nxt = jnp.where(descend, idv + 1, skipv)
+            if any_hit:
+                # park the stream once every ray found an occluder
+                row_live = jnp.any(t_best > -1.0e37, axis=1, keepdims=True)
+                nxt = jnp.where(row_live, nxt, -1)
+            nxt = jnp.where(active, nxt, -1)
+            new_ids = tuple(nxt[s, 0] for s in range(ROWS))
+            return (new_ids, t_best, prim_best, b1_best, b2_best)
+
+        def cond(c):
+            ids = c[0]
+            alive = ids[0] >= 0
+            for s in range(1, ROWS):
+                alive = alive | (ids[s] >= 0)
+            return alive
+
+        def body(c):
+            for _ in range(UNROLL):
+                c = step(c)
+            return c
+
+        shape = tmax_ref.shape
+        init = (
+            (jnp.int32(0),) * ROWS,
+            tmax_ref[:],
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+        )
+        c = jax.lax.while_loop(cond, body, init)
+        _, t_best, prim_best, b1_best, b2_best = c
+        t_out[:] = t_best
+        prim_out[:] = prim_best
+        b1_out[:] = b1_best
+        b2_out[:] = b2_best
+
+    return _kernel
+
+
+_SKIP_KERNELS = {False: _make_skip_kernel(False), True: _make_skip_kernel(True)}
+
+
+# kernel selection per traversal kind: "ordered" (near-child-first via the
+# SMEM right-child stack) or "skip" (stackless skip links). Any-hit defaults
+# to skip (order-independent + per-stream early exit); closest-hit to ordered
+# (front-to-back pruning wins; round-5 measurement in ROUND5_NOTES.md).
+CLOSEST_KERNEL = "ordered"
+ANYHIT_KERNEL = "skip"
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret", "kind"))
+def _run(table, o, d, tmin, tmax, any_hit=False, interpret=False, kind=None):
     n = o.shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
     rows = n_pad // LANES
@@ -384,13 +540,20 @@ def _run(table, o, d, tmin, tmax, any_hit=False, interpret=False):
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
     ]
+    if kind is None:
+        kind = ANYHIT_KERNEL if any_hit else CLOSEST_KERNEL
+    if kind == "skip":
+        kernel, scratch = _SKIP_KERNELS[any_hit], []
+    else:
+        kernel = _KERNELS[any_hit]
+        scratch = [pltpu.SMEM((ROWS * STACK,), jnp.int32)]
     t, prim, b1, b2 = pl.pallas_call(
-        _KERNELS[any_hit],
+        kernel,
         grid=(rows // ROWS,),
         in_specs=[table_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((ROWS * STACK,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(table, *fields)
     flat = lambda a: a.reshape(-1)[:n]

@@ -168,6 +168,18 @@ def test_stream_traversal_matches_brute():
     occ2_ref = np.asarray(intersect_p_brute(scene, o, d, tmax2))
     assert ((np.asarray(prim_b) >= 0) == occ2_ref).all()
 
+    # stackless skip-link kernel (record field 10): same hits as the ordered
+    # stack kernel for BOTH traversal kinds — only the visit order differs
+    t_s, prim_s, _, _ = _run(table, o, d, tmin, tmax, interpret=True,
+                             kind="skip")
+    assert ((np.asarray(prim_s) >= 0) == hit_ref).all()
+    np.testing.assert_allclose(np.asarray(t_s)[ok], np.asarray(ref["t"])[ok],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(prim_s)[ok] == np.asarray(ref["prim"])[ok]).all()
+    _, prim_sa, _, _ = _run(table, o, d, tmin, tmax2, any_hit=True,
+                            interpret=True, kind="skip")
+    assert ((np.asarray(prim_sa) >= 0) == occ2_ref).all()
+
 
 def test_clustered_stream_matches_brute():
     """Clustered record tables (scene > VMEM wall): per-cluster traversal +
