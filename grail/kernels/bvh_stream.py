@@ -235,9 +235,39 @@ def build_clustered_stream(verts_np, tri_idx_np, build_bvh,
 # kernel
 # --------------------------------------------------------------------------
 
+# record-field extraction strategy (GRAIL_STREAM_EXTRACT):
+#   masked — per-field iota-mask cross-lane reductions (10-11 per step)
+#   roll   — one dynamic lane-rotate per stream brings the record's fields to
+#            lanes 0..nf-1, then each field is a static one-lane slice
+#            (attacks the ~250 ns/step extraction cost in the round-4
+#            step-time decomposition)
+import os as _os
+_EXTRACT = _os.environ.get("GRAIL_STREAM_EXTRACT", "masked")
+
+
+def _load_fields(tab_ref, ids, idv, nf, lane_grp, fmask):
+    """Fetch each stream's current record row and broadcast fields 0..nf-1
+    to (ROWS, 1) columns."""
+    if _EXTRACT == "roll":
+        rows = []
+        for s in range(ROWS):
+            rid = jnp.maximum(ids[s], 0)
+            row = tab_ref[rid >> 3, :][None, :]
+            shift = (LANES - (rid & 7) * FIELDS) % LANES
+            rows.append(pltpu.roll(row, shift, axis=1))
+        tile = jnp.concatenate(rows, axis=0)
+        return [tile[:, f:f + 1] for f in range(nf)]
+    rows = [tab_ref[jnp.maximum(ids[s], 0) >> 3, :][None, :]
+            for s in range(ROWS)]
+    tile = jnp.concatenate(rows, axis=0)                # (8,128)
+    gmask = lane_grp == (jnp.maximum(idv, 0) & 7)       # record slot mask
+    return [jnp.sum(jnp.where(gmask & fmask[f], tile, 0.0),
+                    axis=1, keepdims=True) for f in range(nf)]
+
+
 def _make_kernel(any_hit):
-    def _kernel(tab_ref, ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
-                t_out, prim_out, b1_out, b2_out, stack_ref):
+    def _kernel(starts_ref, tab_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
+                tmax_ref, t_out, prim_out, b1_out, b2_out, stack_ref):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         tmin = tmin_ref[:]
@@ -255,14 +285,9 @@ def _make_kernel(any_hit):
 
         def step(c):
             (ids, sps, t_best, prim_best, b1_best, b2_best) = c
-            rows = [tab_ref[jnp.maximum(ids[s], 0) >> 3, :][None, :]
-                    for s in range(ROWS)]
-            tile = jnp.concatenate(rows, axis=0)            # (8,128)
             idv = jnp.concatenate(
                 [jnp.full((1, 1), i, jnp.int32) for i in ids], axis=0)
-            gmask = lane_grp == (jnp.maximum(idv, 0) & 7)   # record slot mask
-            v = [jnp.sum(jnp.where(gmask & fmask[f], tile, 0.0),
-                         axis=1, keepdims=True) for f in range(10)]
+            v = _load_fields(tab_ref, ids, idv, 10, lane_grp, fmask)
 
             # ---- box view: slab test (bvh.cpp bounds test)
             tx0 = (v[0] - o[0]) * inv[0]
@@ -364,7 +389,8 @@ def _make_kernel(any_hit):
 
         shape = tmax_ref.shape
         init = (
-            (jnp.int32(0),) * ROWS,
+            tuple(starts_ref[pl.program_id(0) * ROWS + s]
+                  for s in range(ROWS)),
             (jnp.int32(1),) * ROWS,
             tmax_ref[:],
             jnp.full(shape, -1, jnp.int32),
@@ -394,8 +420,8 @@ def _make_skip_kernel(any_hit):
     ordered kernel lacks — a stream parks as soon as every one of its 128
     rays has found an occluder. For closest-hit the lost front-to-back
     pruning costs extra steps; kept selectable for measurement."""
-    def _kernel(tab_ref, ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
-                t_out, prim_out, b1_out, b2_out):
+    def _kernel(starts_ref, tab_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
+                tmax_ref, t_out, prim_out, b1_out, b2_out):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         tmin = tmin_ref[:]
@@ -408,14 +434,9 @@ def _make_skip_kernel(any_hit):
 
         def step(c):
             (ids, t_best, prim_best, b1_best, b2_best) = c
-            rows = [tab_ref[jnp.maximum(ids[s], 0) >> 3, :][None, :]
-                    for s in range(ROWS)]
-            tile = jnp.concatenate(rows, axis=0)            # (8,128)
             idv = jnp.concatenate(
                 [jnp.full((1, 1), i, jnp.int32) for i in ids], axis=0)
-            gmask = lane_grp == (jnp.maximum(idv, 0) & 7)
-            v = [jnp.sum(jnp.where(gmask & fmask[f], tile, 0.0),
-                         axis=1, keepdims=True) for f in range(11)]
+            v = _load_fields(tab_ref, ids, idv, 11, lane_grp, fmask)
 
             # ---- box view: slab test
             tx0 = (v[0] - o[0]) * inv[0]
@@ -464,14 +485,16 @@ def _make_skip_kernel(any_hit):
             if any_hit:
                 t_best = jnp.where(upd, -3.0e37, t_best)
 
-            any_box = jnp.any(box_hit & active & ~is_tri,
-                              axis=1, keepdims=True)        # (8,1)
-            descend = jnp.where(is_tri, (m & 1) > 0, any_box)
-            nxt = jnp.where(descend, idv + 1, skipv)
+            # int32 0/1 selects — Mosaic cannot select between i1 vectors
+            any_box = (jnp.sum((box_hit & active & ~is_tri).astype(jnp.int32),
+                               axis=1, keepdims=True) > 0).astype(jnp.int32)
+            descend = jnp.where(is_tri, m & 1, any_box)     # (8,1) int32
+            nxt = jnp.where(descend > 0, idv + 1, skipv)
             if any_hit:
                 # park the stream once every ray found an occluder
-                row_live = jnp.any(t_best > -1.0e37, axis=1, keepdims=True)
-                nxt = jnp.where(row_live, nxt, -1)
+                row_live = jnp.sum((t_best > -1.0e37).astype(jnp.int32),
+                                   axis=1, keepdims=True)
+                nxt = jnp.where(row_live > 0, nxt, -1)
             nxt = jnp.where(active, nxt, -1)
             new_ids = tuple(nxt[s, 0] for s in range(ROWS))
             return (new_ids, t_best, prim_best, b1_best, b2_best)
@@ -490,7 +513,8 @@ def _make_skip_kernel(any_hit):
 
         shape = tmax_ref.shape
         init = (
-            (jnp.int32(0),) * ROWS,
+            tuple(starts_ref[pl.program_id(0) * ROWS + s]
+                  for s in range(ROWS)),
             tmax_ref[:],
             jnp.full(shape, -1, jnp.int32),
             jnp.zeros(shape, jnp.float32),
@@ -518,7 +542,15 @@ ANYHIT_KERNEL = "skip"
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret", "kind"))
-def _run(table, o, d, tmin, tmax, any_hit=False, interpret=False, kind=None):
+def _run(table, o, d, tmin, tmax, any_hit=False, interpret=None, kind=None,
+         starts=None):
+    """starts: optional (ceil(n/128),) int32 — per-128-ray-stream start
+    record id (instanced BLAS traversal roots); default all streams start at
+    record 0 (the whole-scene root). interpret=None reads
+    GRAIL_PALLAS_INTERPRET (CPU testing of callers that can't thread the
+    flag, e.g. through the custom_vjp wrappers)."""
+    if interpret is None:
+        interpret = bool(_os.environ.get("GRAIL_PALLAS_INTERPRET"))
     n = o.shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
     rows = n_pad // LANES
@@ -527,11 +559,16 @@ def _run(table, o, d, tmin, tmax, any_hit=False, interpret=False, kind=None):
         return jnp.pad(x, (0, n_pad - n),
                        constant_values=fill).reshape(rows, LANES)
 
+    if starts is None:
+        starts_r = jnp.zeros((rows,), jnp.int32)
+    else:
+        starts_r = jnp.pad(starts.astype(jnp.int32),
+                           (0, rows - starts.shape[0]), constant_values=-1)
     # padded lanes: tmin=+BIG, tmax=-BIG → no box/tri test can pass
     fields = [field(o[:, 0], 0.0), field(o[:, 1], 0.0), field(o[:, 2], 0.0),
               field(d[:, 0], 1.0), field(d[:, 1], 0.0), field(d[:, 2], 0.0),
               field(tmin, BIG_T), field(tmax, -BIG_T)]
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [
@@ -549,13 +586,16 @@ def _run(table, o, d, tmin, tmax, any_hit=False, interpret=False, kind=None):
         scratch = [pltpu.SMEM((ROWS * STACK,), jnp.int32)]
     t, prim, b1, b2 = pl.pallas_call(
         kernel,
-        grid=(rows // ROWS,),
-        in_specs=[table_spec] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(rows // ROWS,),
+            in_specs=[table_spec] + [ray_spec] * 8,
+            out_specs=[ray_spec] * 4,
+            scratch_shapes=scratch,
+        ),
         out_shape=out_shape,
-        scratch_shapes=scratch,
         interpret=interpret,
-    )(table, *fields)
+    )(starts_r, table, *fields)
     flat = lambda a: a.reshape(-1)[:n]
     return flat(t), flat(prim), flat(b1), flat(b2)
 
@@ -564,45 +604,60 @@ def _run(table, o, d, tmin, tmax, any_hit=False, interpret=False, kind=None):
 # differentiable entry points
 # --------------------------------------------------------------------------
 
-@jax.custom_vjp
-def bvh_stream_intersect(table, tris9, o, d, tmin, tmax):
-    """Closest hit via ordered sub-packet streaming. Returns (t,prim,b1,b2).
+def _make_intersect(kind):
+    """Differentiable closest-hit entry point bound to a traversal kind
+    (None → CLOSEST_KERNEL default)."""
+    @jax.custom_vjp
+    def f(table, tris9, o, d, tmin, tmax, starts=None):
+        return _run(table, o, d, tmin, tmax, any_hit=False, starts=starts,
+                    kind=kind)
 
-    tris9 (T,9) [v0|e1|e2] is the unordered traced triangle table used only
-    by the backward recompute."""
-    return _run(table, o, d, tmin, tmax, any_hit=False)
+    def _fwd(table, tris9, o, d, tmin, tmax, starts=None):
+        out = _run(table, o, d, tmin, tmax, any_hit=False, starts=starts,
+                   kind=kind)
+        return out, (tris9, o, d, tmin, tmax, out[1])
+
+    def _bwd(res, cts):
+        """With the hit prim frozen, (t, b1, b2) are the closed-form
+        Möller-Trumbore outputs — differentiate those directly."""
+        tris9, o, d, tmin, tmax, prim = res
+
+        def ref_diff(tris9, o, d, tmin, tmax):
+            from .intersect import moller_trumbore
+            pid = jnp.maximum(prim, 0)
+            tri = tris9[pid]
+            _, t, b1, b2 = moller_trumbore(
+                o, d, tri[:, 0:3], tri[:, 3:6], tri[:, 6:9], tmin, tmax)
+            ok = prim >= 0
+            return (jnp.where(ok, t, tmax), jnp.where(ok, b1, 0.0),
+                    jnp.where(ok, b2, 0.0))
+
+        _, vjp = jax.vjp(ref_diff, tris9, o, d, tmin, tmax)
+        ct_t, _, ct_b1, ct_b2 = cts
+        g_tris9, g_o, g_d, g_tmin, g_tmax = vjp((ct_t, ct_b1, ct_b2))
+        return (None, g_tris9, g_o, g_d, g_tmin, g_tmax, None)
+
+    f.defvjp(_fwd, _bwd)
+    return f
 
 
-def _fwd(table, tris9, o, d, tmin, tmax):
-    out = _run(table, o, d, tmin, tmax, any_hit=False)
-    return out, (tris9, o, d, tmin, tmax, out[1])
+"""Closest hit via sub-packet streaming. Returns (t,prim,b1,b2).
+
+tris9 (T,9) [v0|e1|e2] is the unordered traced triangle table used only
+by the backward recompute. starts: optional per-stream root record ids
+(instanced BLAS traversal; int32, zero-cotangent in the vjp).
+
+Kernel choice per coherence regime (benchmarks/streamvariants_r05.json,
+TPU v5e, 100k terrain): tile-ordered CAMERA waves take the stackless skip
+kernel — their per-packet unions are small, so deleting the stack chain
+beats near-child-first ordering 7.3 vs 3.2 Mrays/s — while sorted
+secondary/incoherent waves keep the ordered kernel, whose front-to-back
+pruning wins once unions grow (1.21 vs 0.99 Mrays/s)."""
+bvh_stream_intersect = _make_intersect(None)
+bvh_stream_intersect_coherent = _make_intersect("skip")
 
 
-def _bwd(res, cts):
-    """With the hit prim frozen, (t, b1, b2) are the closed-form
-    Möller-Trumbore outputs — differentiate those directly."""
-    tris9, o, d, tmin, tmax, prim = res
-
-    def ref_diff(tris9, o, d, tmin, tmax):
-        from .intersect import moller_trumbore
-        pid = jnp.maximum(prim, 0)
-        tri = tris9[pid]
-        _, t, b1, b2 = moller_trumbore(
-            o, d, tri[:, 0:3], tri[:, 3:6], tri[:, 6:9], tmin, tmax)
-        ok = prim >= 0
-        return (jnp.where(ok, t, tmax), jnp.where(ok, b1, 0.0),
-                jnp.where(ok, b2, 0.0))
-
-    _, vjp = jax.vjp(ref_diff, tris9, o, d, tmin, tmax)
-    ct_t, _, ct_b1, ct_b2 = cts
-    g_tris9, g_o, g_d, g_tmin, g_tmax = vjp((ct_t, ct_b1, ct_b2))
-    return (None, g_tris9, g_o, g_d, g_tmin, g_tmax)
-
-
-bvh_stream_intersect.defvjp(_fwd, _bwd)
-
-
-def bvh_stream_intersect_p(table, o, d, tmin, tmax):
+def bvh_stream_intersect_p(table, o, d, tmin, tmax, starts=None):
     """Any-hit (occlusion) variant with per-ray early-kill. Returns occluded."""
-    _, prim, _, _ = _run(table, o, d, tmin, tmax, any_hit=True)
+    _, prim, _, _ = _run(table, o, d, tmin, tmax, any_hit=True, starts=starts)
     return prim >= 0

@@ -111,6 +111,23 @@ def _instance_nears(inst, o, d, tmin, tcur):
     return jnp.where(ok, jnp.maximum(near, tmin[:, None]), BIG_T)
 
 
+def _use_stream_blas(scene, I):
+    """Route BLAS traversal through the Pallas stream kernel when the
+    per-object record table was built (fits VMEM) and the instance count
+    suits the counting-sort (K = I+1 buckets). GRAIL_INST_STREAM=0 forces
+    the jnp walk; =force enables it on CPU (interpret-mode tests)."""
+    import os
+    mode = os.environ.get("GRAIL_INST_STREAM", "")
+    if mode == "0":
+        return False
+    if "stream" not in scene["inst"]:
+        return False
+    if mode == "force":
+        return True
+    from .intersect import _pallas_ok
+    return _pallas_ok() and I <= 128
+
+
 def instances_intersect(scene, o, d, tmax, tmin=None, time=None,
                         any_hit=False):
     """Closest hit (or occlusion) against all instanced geometry.
@@ -122,6 +139,9 @@ def instances_intersect(scene, o, d, tmax, tmin=None, time=None,
     inst = scene["inst"]
     n = o.shape[0]
     I = inst["root"].shape[0]
+    if _use_stream_blas(scene, I):
+        return _instances_intersect_stream(scene, o, d, tmax, tmin, time,
+                                           any_hit)
     ids = jnp.arange(I, dtype=jnp.int32)
     if tmin is None:
         tmin = jnp.zeros((n,), jnp.float32)
@@ -169,6 +189,125 @@ def instances_intersect(scene, o, d, tmax, tmin=None, time=None,
             "inst": jnp.where(closer, sel, s["inst"]),
             "last_near": jnp.where(lane_act, selnear, s["last_near"]),
             "last_id": jnp.where(lane_act, sel, s["last_id"]),
+            "occ": s["occ"] | closer,
+            "go": jnp.any(lane_act),
+        }
+
+    out = jax.lax.while_loop(cond, body, state)
+    if any_hit:
+        return {"occluded": out["occ"]}
+    hit = out["prim"] >= 0
+    return {"t": jnp.where(hit, out["t"], BIG_T), "prim": out["prim"],
+            "b1": out["b1"], "b2": out["b2"], "inst": out["inst"]}
+
+
+def _instances_intersect_stream(scene, o, d, tmax, tmin=None, time=None,
+                                any_hit=False):
+    """The instanced sweep with BLAS traversal on the Pallas stream kernel
+    (round-5: replaces the jnp `traverse_tables` walk, which was the last
+    non-stream traversal in the hot path — pbrt TransformedPrimitive's
+    'instancing is cheap' contract, src/core/primitive.cpp).
+
+    Per sweep round: each lane picks its next-nearest candidate instance
+    (same lexicographic (near, id) sweep as the dense path), lanes are
+    counting-sorted by candidate so each 128-ray stream is instance-uniform,
+    and the stream kernel traverses the per-object record table with the
+    stream's OBJECT-ROOT start record (scene build concatenates per-object
+    streams with offset pointers; SceneBuilder.finalize). Lanes that land in
+    a stream led by a different instance are masked inert for the launch and
+    re-offered the same candidate next round — progress is guaranteed
+    because a stream's lead lane always matches itself. Object-space t
+    carries over unchanged (unnormalized direction), so hits merge exactly
+    like the dense path's."""
+    import jax
+    from .bvh_stream import bvh_stream_intersect, bvh_stream_intersect_p, LANES
+    from .binning import bucket_rank, sort_by_rank
+    from .pallas_intersect import pack_tris
+
+    inst = scene["inst"]
+    n = o.shape[0]
+    I = inst["root"].shape[0]
+    ids = jnp.arange(I, dtype=jnp.int32)
+    if tmin is None:
+        tmin = jnp.zeros((n,), jnp.float32)
+    if time is None:
+        time = jnp.zeros((n,), jnp.float32)
+    table = inst["stream"]
+    tris9 = pack_tris(scene)
+    n_streams = -(-n // LANES)
+    n_pad = n_streams * LANES
+
+    state = {
+        "t": tmax, "prim": jnp.full((n,), -1, jnp.int32),
+        "b1": jnp.zeros((n,), jnp.float32), "b2": jnp.zeros((n,), jnp.float32),
+        "inst": jnp.full((n,), -1, jnp.int32),
+        "last_near": jnp.full((n,), -BIG_T, jnp.float32),
+        "last_id": jnp.full((n,), -1, jnp.int32),
+        "occ": jnp.zeros((n,), jnp.bool_),
+        "go": jnp.ones((), jnp.bool_),
+    }
+
+    def cond(s):
+        return s["go"]
+
+    def body(s):
+        nr = _instance_nears(inst, o, d, tmin, s["t"])
+        elig = (nr > s["last_near"][:, None]) \
+            | ((nr == s["last_near"][:, None])
+               & (ids[None] > s["last_id"][:, None]))
+        if any_hit:
+            elig = elig & ~s["occ"][:, None]
+        nrm = jnp.where(elig, nr, BIG_T)
+        sel = jnp.argmin(nrm, axis=1).astype(jnp.int32)
+        selnear = jnp.take_along_axis(nrm, sel[:, None], 1)[:, 0]
+        lane_act = selnear < BIG_T
+
+        pk = gather_pack(inst, sel)
+        o_obj, d_obj = w2o_ray(pk, time, o, d)
+        sub_tmax = jnp.where(lane_act, s["t"], -BIG_T)
+        sub_tmin = jnp.where(lane_act, tmin, BIG_T)
+
+        # instance-uniform streams: sort lanes by candidate (dead → bucket I)
+        key = jnp.where(lane_act, sel, I)
+        rank = bucket_rank(key, I + 1)
+        o_s, d_s, tmin_s, tmax_s, key_s = sort_by_rank(
+            rank, o_obj, d_obj, sub_tmin, sub_tmax, key)
+        key_p = jnp.concatenate(
+            [key_s, jnp.full((n_pad - n,), I, jnp.int32)])
+        lead = key_p.reshape(n_streams, LANES)[:, 0]       # stream's instance
+        starts = jnp.where(lead < I, inst["sroot"][jnp.minimum(lead, I - 1)],
+                           -1)
+        mismatch = key_s != jnp.repeat(lead, LANES)[:n]
+        tmax_s = jnp.where(mismatch, -BIG_T, tmax_s)
+        tmin_s = jnp.where(mismatch, BIG_T, tmin_s)
+
+        if any_hit:
+            occ_s = bvh_stream_intersect_p(table, o_s, d_s, tmin_s, tmax_s,
+                                           starts=starts)
+            occ_r = occ_s[rank]
+        else:
+            t_s, prim_s, b1_s, b2_s = bvh_stream_intersect(
+                table, tris9, o_s, d_s, tmin_s, tmax_s, starts)
+            t_r, prim_r, b1_r, b2_r = (t_s[rank], prim_s[rank],
+                                       b1_s[rank], b2_s[rank])
+        processed = lane_act & ~mismatch[rank]
+
+        if any_hit:
+            closer = occ_r & processed
+            t_new, prim_new, b1_new, b2_new = s["t"], s["prim"], s["b1"], s["b2"]
+            inst_new = s["inst"]
+        else:
+            closer = (prim_r >= 0) & processed
+            t_new = jnp.where(closer, t_r, s["t"])
+            prim_new = jnp.where(closer, prim_r, s["prim"])
+            b1_new = jnp.where(closer, b1_r, s["b1"])
+            b2_new = jnp.where(closer, b2_r, s["b2"])
+            inst_new = jnp.where(closer, sel, s["inst"])
+        return {
+            "t": t_new, "prim": prim_new, "b1": b1_new, "b2": b2_new,
+            "inst": inst_new,
+            "last_near": jnp.where(processed, selnear, s["last_near"]),
+            "last_id": jnp.where(processed, sel, s["last_id"]),
             "occ": s["occ"] | closer,
             "go": jnp.any(lane_act),
         }

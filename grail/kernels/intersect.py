@@ -121,7 +121,9 @@ def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
     import os
     if os.environ.get("GRAIL_SORT_RAYS", "") == "0":
         sort = False
-    from .bvh_stream import bvh_stream_intersect, bvh_stream_intersect_p
+    from .bvh_stream import (bvh_stream_intersect,
+                             bvh_stream_intersect_coherent,
+                             bvh_stream_intersect_p)
     from .pallas_intersect import pack_tris
     n = o.shape[0]
     if sort is None:
@@ -130,6 +132,11 @@ def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
         tmin = jnp.zeros((n,), jnp.float32)
     bvh = scene["bvh"]
     tris9 = pack_tris(scene)
+    # sort=False marks a tile-ordered camera wave: small per-packet unions →
+    # the stackless skip kernel wins 2.3x; sorted/secondary waves keep the
+    # ordered kernel's front-to-back pruning (streamvariants_r05.json)
+    stream_closest = (bvh_stream_intersect_coherent if sort is False
+                      else bvh_stream_intersect)
 
     def closest(o, d, tmin, tmax):
         if "cstream" in bvh:
@@ -142,7 +149,7 @@ def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
             b2 = jnp.zeros_like(tmax)
             for c in range(C):
                 cut = jnp.minimum(tmax, jax.lax.stop_gradient(t))
-                tc, pc, b1c, b2c = bvh_stream_intersect(
+                tc, pc, b1c, b2c = stream_closest(
                     bvh["cstream"][c], tris9, o, d, tmin, cut)
                 closer = (pc >= 0) & (tc < t)
                 t = jnp.where(closer, tc, t)
@@ -150,7 +157,7 @@ def _stream_bvh(scene, o, d, tmax, tmin, any_hit=False, sort=None):
                 b1 = jnp.where(closer, b1c, b1)
                 b2 = jnp.where(closer, b2c, b2)
             return t, prim, b1, b2
-        return bvh_stream_intersect(bvh["stream"], tris9, o, d, tmin, tmax)
+        return stream_closest(bvh["stream"], tris9, o, d, tmin, tmax)
 
     def anyhit(o, d, tmin, tmax):
         if "cstream" in bvh:

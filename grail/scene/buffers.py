@@ -649,14 +649,25 @@ class SceneBuilder:
         # ---- instance table + concatenated BLAS (TransformedPrimitive)
         if self.instances and any(ob["tri_idx"] for ob in self.inst_objects):
             from .bvh import build_bvh_auto as build_bvh
+            from ..kernels.bvh_stream import (build_stream_records,
+                                              pack_record_rows,
+                                              VMEM_TABLE_BUDGET)
             blas = {k: [] for k in ("bounds_min", "bounds_max", "right",
                                     "prim_off", "nprims", "axis")}
             blas_prim_ids = []
             obj_root = []
             node_off = 0
+            # per-object stream-record tables concatenated with offset
+            # pointers: the instanced fast path traverses these through the
+            # Pallas stream kernel with per-stream object-root starts
+            # (kernels/instanced.py), replacing the jnp BLAS walk
+            srecs = []
+            obj_rec_root = []
+            rec_base = 0
             for oi, (t0, t1) in enumerate(inst_meta):
                 if t1 == t0:
                     obj_root.append(-1)
+                    obj_rec_root.append(-1)
                     continue
                 subset = np.arange(t0, t1)
                 b = build_bvh(verts, tri_idx[t0:t1], max_prims=4, force_leaf=4)
@@ -672,6 +683,21 @@ class SceneBuilder:
                 blas["axis"].append(b["axis"])
                 blas_prim_ids.append(subset[b["prim_ids"]])
                 node_off += len(b["bounds_min"])
+
+                sub_idx = tri_idx[t0:t1]
+                sv0 = verts[sub_idx[:, 0]]
+                tris9 = np.concatenate(
+                    [sv0, verts[sub_idx[:, 1]] - sv0,
+                     verts[sub_idx[:, 2]] - sv0], axis=1).astype(np.float32)
+                ordered = tris9[np.asarray(b["prim_ids"], np.int64)]
+                recs = build_stream_records(b, ordered, prim_map=subset)
+                is_tri_rec = (recs[:, 9].astype(np.int64) & 4) > 0
+                recs[~is_tri_rec, 9] += rec_base * 8
+                sk = recs[:, 10]
+                recs[:, 10] = np.where(sk >= 0, sk + rec_base, sk)
+                obj_rec_root.append(rec_base)
+                rec_base += len(recs)
+                srecs.append(recs)
             scene["inst"] = {
                 "blas": {
                     **{k: jnp.asarray(np.concatenate(v))
@@ -680,10 +706,18 @@ class SceneBuilder:
                         np.concatenate(blas_prim_ids).astype(np.int32)),
                 },
             }
+            if srecs:
+                all_recs = np.concatenate(srecs)
+                stream_bytes = -(-len(all_recs) // 8) * 128 * 4
+                if stream_bytes < VMEM_TABLE_BUDGET:
+                    scene["inst"]["stream"] = jnp.asarray(
+                        pack_record_rows(all_recs))
+            inst_obj_rec_root = obj_rec_root
             self.instances = [i for i in self.instances
                               if obj_root[i["obj"]] >= 0]
             I = len(self.instances)
             pk = {"root": np.zeros(I, np.int32),
+                  "sroot": np.full(I, -1, np.int32),
                   "t": np.zeros((I, 2, 3), np.float32),
                   "q": np.zeros((I, 2, 4), np.float32),
                   "s": np.zeros((I, 2, 3, 3), np.float32),
@@ -696,6 +730,7 @@ class SceneBuilder:
             for ii, ins in enumerate(self.instances):
                 p = tr.animated_pack(ins["m0"], ins["m1"])
                 pk["root"][ii] = obj_root[ins["obj"]]
+                pk["sroot"][ii] = inst_obj_rec_root[ins["obj"]]
                 pk["t"][ii] = p["t"]
                 pk["q"][ii] = p["q"]
                 pk["s"][ii] = p["s"]
