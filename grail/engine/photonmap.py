@@ -42,10 +42,21 @@ _PH_DIM = 70000
 class PhotonConfig:
     n_paths: int = 4096           # light paths to shoot
     max_depth: int = 5
-    radius: float = 0.15          # fixed-radius estimate (pbrt "maxdist")
+    radius: float = 0.15          # search radius cap (pbrt "maxdist")
     max_per_cell: int = 16        # photons examined per grid cell
     final_gather: bool = True
     gather_samples: int = 1
+    # kNN lookup (pbrt "nlookup"): the density-estimate radius shrinks to the
+    # k-th nearest photon's distance, resolved through a radial d² histogram
+    # (knn_bins bins) instead of a per-lane heap — the SPMD analog of
+    # KdTree::Lookup's ClosePhoton max-heap. 0 = fixed-radius estimate.
+    nlookup: int = 32
+    knn_bins: int = 16
+    # final-gather photon-direction strategy (photonmap.cpp final gather):
+    # sample within a cone of cos_gather_angle around nearby indirect photon
+    # directions, MIS'd against the BSDF strategy
+    n_sample_dirs: int = 8        # photon dirs gathered per point (~nIndirSamplePhotons)
+    cos_gather_angle: float = 0.9848077  # cos(10°)
 
 
 def shoot_photons(scene, meta, cfg: PhotonConfig, seed=0):
@@ -137,16 +148,14 @@ def build_photon_grid(scene, photons, cfg):
     }
 
 
-def radiance_estimate(scene, meta, cfg, pmap, sg, lobes, wo_local, use_caustic,
-                      active):
-    """L ≈ Σ_nbr f(wo, wi_j)·α_j / (π r²) over the 27 neighbor cells."""
-    n = sg["p"].shape[0]
+def _neighbor_scan(scene, cfg, pmap, sg, use_caustic, active, fn, init):
+    """Fold `fn(carry, idx, ok, d2)` over every candidate photon in the 27
+    neighbor cells (the shared chassis of the histogram / estimate passes)."""
     r2 = cfg.radius * cfg.radius
     res = 1024
     base = jnp.floor(sg["p"] / cfg.radius).astype(jnp.int32)
-    L = jnp.zeros((n, 3), jnp.float32)
     cid_sorted = pmap["cid"]
-
+    carry = init
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
@@ -157,7 +166,7 @@ def radiance_estimate(scene, meta, cfg, pmap, sg, lobes, wo_local, use_caustic,
                 end = jnp.searchsorted(cid_sorted, cid, side="right")
                 end = jnp.minimum(end, start + cfg.max_per_cell)
 
-                def body(k, L):
+                def body(k, carry):
                     idx = jnp.minimum(start + k,
                                       cid_sorted.shape[0] - 1)
                     ok = (start + k < end) & pmap["valid"][idx] & active
@@ -165,17 +174,127 @@ def radiance_estimate(scene, meta, cfg, pmap, sg, lobes, wo_local, use_caustic,
                         ok = ok & pmap["caustic"][idx]
                     else:
                         ok = ok & ~pmap["caustic"][idx]
-                    pp = pmap["p"][idx]
-                    d2 = jnp.sum((pp - sg["p"]) ** 2, axis=-1)
+                    d2 = jnp.sum((pmap["p"][idx] - sg["p"]) ** 2, axis=-1)
                     ok = ok & (d2 < r2)
-                    wi_l = geom.world_to_local(sg, pmap["wi"][idx])
-                    f = bx.bsdf_f(lobes, wo_local, wi_l, meta.lobe_types,
-                                  include_specular=False)
-                    return L + jnp.where(ok[..., None],
-                                         f * pmap["alpha"][idx], 0.0)
+                    return fn(carry, idx, ok, d2)
 
-                L = jax.lax.fori_loop(0, cfg.max_per_cell, body, L)
-    return L / (jnp.pi * r2)
+                carry = jax.lax.fori_loop(0, cfg.max_per_cell, body, carry)
+    return carry
+
+
+def knn_radius2(scene, cfg, pmap, sg, use_caustic, active):
+    """Adaptive k-NN search radius² (pbrt photonmap.cpp LookupProc: maxdist²
+    shrinks to the nLookup-th nearest photon). Per-lane heaps don't vectorize,
+    so the k-th distance is resolved from a radial d² histogram: count
+    photons into knn_bins equal-d² shells, then take the first shell where
+    the running count reaches nlookup (conservative upper edge). Falls back
+    to the full radius when fewer than nlookup photons are in range."""
+    n = sg["p"].shape[0]
+    r2 = cfg.radius * cfg.radius
+    B = cfg.knn_bins
+
+    def acc(hist, idx, ok, d2):
+        b = jnp.minimum((d2 / r2 * B).astype(jnp.int32), B - 1)
+        return hist + jax.nn.one_hot(b, B, dtype=jnp.float32) * ok[..., None]
+
+    hist = _neighbor_scan(scene, cfg, pmap, sg, use_caustic, active, acc,
+                          jnp.zeros((n, B), jnp.float32))
+    cum = jnp.cumsum(hist, axis=-1)
+    reach = cum >= cfg.nlookup
+    kbin = jnp.argmax(reach, axis=-1)          # first bin reaching k
+    found = jnp.any(reach, axis=-1)
+    rk2 = (kbin + 1).astype(jnp.float32) / B * r2
+    return jnp.where(found, rk2, r2)
+
+
+def radiance_estimate(scene, meta, cfg, pmap, sg, lobes, wo_local, use_caustic,
+                      active):
+    """Photon density estimate over the 27 neighbor cells.
+
+    With cfg.nlookup > 0 (default): adaptive k-NN radius (knn_radius2) and
+    pbrt's Simpson kernel  k(d²) = 3/(π r²)·(1 − d²/r²)²  (photonmap.cpp
+    kernel in LPhoton) — tighter caustics than the fixed-radius box kernel.
+    With nlookup == 0: the fixed-radius estimate Σ f·α / (π r²)."""
+    n = sg["p"].shape[0]
+    if cfg.nlookup > 0:
+        rk2 = knn_radius2(scene, cfg, pmap, sg, use_caustic, active)
+    else:
+        rk2 = jnp.full((n,), cfg.radius * cfg.radius, jnp.float32)
+
+    def acc(L, idx, ok, d2):
+        ok = ok & (d2 < rk2)
+        if cfg.nlookup > 0:
+            s = 1.0 - d2 / jnp.maximum(rk2, 1e-12)
+            kern = 3.0 / (jnp.pi * jnp.maximum(rk2, 1e-12)) * s * s
+        else:
+            kern = jnp.full_like(d2, 1.0 / (jnp.pi * cfg.radius * cfg.radius))
+        wi_l = geom.world_to_local(sg, pmap["wi"][idx])
+        f = bx.bsdf_f(lobes, wo_local, wi_l, meta.lobe_types,
+                      include_specular=False)
+        return L + jnp.where(ok[..., None],
+                             f * pmap["alpha"][idx] * kern[..., None], 0.0)
+
+    return _neighbor_scan(scene, cfg, pmap, sg, use_caustic, active, acc,
+                          jnp.zeros((n, 3), jnp.float32))
+
+
+def gather_photon_dirs(scene, cfg, pmap, sg, active):
+    """Up to n_sample_dirs nearby INDIRECT photon incident directions per
+    point (pbrt photonmap.cpp nIndirSamplePhotons slots feeding the
+    photon-direction gather strategy). Returns (dirs (N,K,3), count (N,))."""
+    n = sg["p"].shape[0]
+    K = cfg.n_sample_dirs
+
+    def acc(carry, idx, ok, d2):
+        dirs, cnt = carry
+        slot = jnp.minimum(cnt, K - 1)
+        take = ok & (cnt < K)
+        oh = jax.nn.one_hot(slot, K, dtype=jnp.float32) * take[..., None]
+        dirs = dirs + oh[..., None] * pmap["wi"][idx][:, None, :]
+        return dirs, cnt + take.astype(jnp.int32)
+
+    dirs, cnt = _neighbor_scan(
+        scene, cfg, pmap, sg, False, active, acc,
+        (jnp.zeros((n, K, 3), jnp.float32), jnp.zeros((n,), jnp.int32)))
+    return dirs, cnt
+
+
+def photon_pdf(cfg, dirs, cnt, w):
+    """pdf of the photon-direction gather strategy at direction w: average of
+    uniform-cone pdfs around each gathered photon direction
+    (photonmap.cpp: UniformConePdf over the sampled photon's cone)."""
+    cone_pdf = 1.0 / (2.0 * jnp.pi * (1.0 - cfg.cos_gather_angle))
+    K = dirs.shape[1]
+    in_cone = jnp.sum(dirs * w[:, None, :], axis=-1) > cfg.cos_gather_angle
+    slot_ok = jnp.arange(K)[None, :] < cnt[:, None]
+    hits = jnp.sum((in_cone & slot_ok).astype(jnp.float32), axis=-1)
+    return jnp.where(cnt > 0,
+                     hits * cone_pdf / jnp.maximum(cnt.astype(jnp.float32),
+                                                   1.0),
+                     0.0)
+
+
+def sample_photon_dir(cfg, dirs, cnt, u_pick, u1, u2):
+    """Sample the photon-direction strategy: pick a gathered direction, then
+    a uniform direction within its cone (UniformSampleCone about that axis)."""
+    K = dirs.shape[1]
+    j = jnp.minimum((u_pick * jnp.maximum(cnt, 1).astype(jnp.float32))
+                    .astype(jnp.int32), jnp.maximum(cnt - 1, 0))
+    axis = jnp.sum(jax.nn.one_hot(j, K, dtype=jnp.float32)[..., None] * dirs,
+                   axis=1)
+    axis = normalize(axis)
+    costheta = 1.0 - u1 * (1.0 - cfg.cos_gather_angle)
+    sintheta = jnp.sqrt(jnp.maximum(0.0, 1.0 - costheta * costheta))
+    phi = 2.0 * jnp.pi * u2
+    # frame around axis
+    up = jnp.where(jnp.abs(axis[..., 2:3]) < 0.9,
+                   jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([1.0, 0.0, 0.0]))
+    t1 = normalize(jnp.cross(up, axis))
+    t2 = jnp.cross(axis, t1)
+    w = (t1 * (sintheta * jnp.cos(phi))[..., None]
+         + t2 * (sintheta * jnp.sin(phi))[..., None]
+         + axis * costheta[..., None])
+    return w, cnt > 0
 
 
 def photon_li(scene, meta, cfg: PhotonConfig, icfg, rays, pix, samp, pmap):
@@ -210,22 +329,54 @@ def photon_li(scene, meta, cfg: PhotonConfig, icfg, rays, pix, samp, pmap):
                                      wo_local, True, active), 0.0)
 
     if cfg.final_gather:
-        # one cosine-sampled gather ray shaded by the indirect map
-        u1 = rngmod.sample_1d(meta.sampler, pix, samp, _PH_DIM + 110)
-        u2 = rngmod.sample_1d(meta.sampler, pix, samp, _PH_DIM + 111)
-        wl = mc.cosine_sample_hemisphere(u1, u2)
-        w = geom.local_to_world(sg, wl)
-        w = jnp.where(dot(w, sg["ng"])[..., None] < 0.0, -w, w)
-        ghit = isect.intersect(scene, sg["p"] + w * sg["ray_eps"][..., None],
-                               w, jnp.where(active, BIG, 0.0) * jnp.ones((n,)))
-        gactive = active & (ghit["prim"] >= 0)
-        sg2, lobes2, wo2 = _shade_context(
-            scene, meta, ghit, sg["p"] + w * sg["ray_eps"][..., None], w)
-        Lg = radiance_estimate(scene, meta, cfg, pmap, sg2, lobes2, wo2,
-                               False, gactive)
-        f = bx.bsdf_f(lobes, wo_local, wl, meta.lobe_types, False)
-        # cosine pdf cancels |cos|/π: L += f·Lg·π... E[f·Lg·cos/pdf] = f·Lg·π
-        L += jnp.where(gactive[..., None], f * Lg * jnp.pi, 0.0)
+        # two-strategy MIS final gather (photonmap.cpp final gather): one
+        # BSDF-sampled ray and one photon-direction-sampled ray (uniform cone
+        # around a nearby indirect photon's incident direction), each tracing
+        # to a hit shaded by the indirect map, combined with the power
+        # heuristic — replaces the single cosine-gather simplification
+        pdirs, pcnt = gather_photon_dirs(scene, cfg, pmap, sg, active)
+
+        def gather_ray(w_world, pdf, strat_active):
+            o2 = sg["p"] + w_world * sg["ray_eps"][..., None]
+            ghit = isect.intersect(
+                scene, o2, w_world,
+                jnp.where(strat_active, BIG, 0.0) * jnp.ones((n,)))
+            gactive = strat_active & (ghit["prim"] >= 0)
+            sg2, lobes2, wo2 = _shade_context(scene, meta, ghit, o2, w_world)
+            Lg = radiance_estimate(scene, meta, cfg, pmap, sg2, lobes2, wo2,
+                                   False, gactive)
+            wl = geom.world_to_local(sg, w_world)
+            f = bx.bsdf_f(lobes, wo_local, wl, meta.lobe_types, False,
+                          tables=scene.get("brdf_tables", ()))
+            cosw = absdot(w_world, sg["ns"])
+            est = f * Lg * (cosw / jnp.maximum(pdf, 1e-9))[..., None]
+            return jnp.where(gactive[..., None], est, 0.0)
+
+        # strategy A: BSDF sample
+        uA = rngmod.sample_2d(meta.sampler, pix, samp, _PH_DIM + 110)
+        uAc = rngmod.sample_1d(meta.sampler, pix, samp, _PH_DIM + 112)
+        bs = bx.bsdf_sample(lobes, wo_local, uA[0], uA[1], uAc,
+                            meta.lobe_types, include_specular=False,
+                            tables=scene.get("brdf_tables", ()))
+        wA = geom.local_to_world(sg, bs["wi"])
+        actA = active & bs["valid"] & (bs["pdf"] > 0.0)
+        pdfA_ph = photon_pdf(cfg, pdirs, pcnt, wA)
+        # with no photon dirs the photon strategy is unavailable: weight 1
+        wMISA = jnp.where(pcnt > 0,
+                          mc.power_heuristic(1.0, bs["pdf"], 1.0, pdfA_ph),
+                          1.0)
+        L += wMISA[..., None] * gather_ray(wA, bs["pdf"], actA)
+
+        # strategy B: photon-direction cone sample
+        uB = rngmod.sample_2d(meta.sampler, pix, samp, _PH_DIM + 113)
+        uBp = rngmod.sample_1d(meta.sampler, pix, samp, _PH_DIM + 115)
+        wB, okB = sample_photon_dir(cfg, pdirs, pcnt, uBp, uB[0], uB[1])
+        pdfB = photon_pdf(cfg, pdirs, pcnt, wB)
+        actB = active & okB & (pdfB > 0.0)
+        pdfB_bsdf = bx.bsdf_pdf(lobes, wo_local, geom.world_to_local(sg, wB),
+                                meta.lobe_types, include_specular=False)
+        wMISB = mc.power_heuristic(1.0, pdfB, 1.0, pdfB_bsdf)
+        L += wMISB[..., None] * gather_ray(wB, pdfB, actB)
     else:
         L += jnp.where(active[..., None],
                        radiance_estimate(scene, meta, cfg, pmap, sg, lobes,
