@@ -209,16 +209,19 @@ def _instances_intersect_stream(scene, o, d, tmax, tmin=None, time=None,
     'instancing is cheap' contract, src/core/primitive.cpp).
 
     Per sweep round: each lane picks its next-nearest candidate instance
-    (same lexicographic (near, id) sweep as the dense path), lanes are
-    counting-sorted by candidate so each 128-ray stream is instance-uniform,
-    and the stream kernel traverses the per-object record table with the
-    stream's OBJECT-ROOT start record (scene build concatenates per-object
-    streams with offset pointers; SceneBuilder.finalize). Lanes that land in
-    a stream led by a different instance are masked inert for the launch and
-    re-offered the same candidate next round — progress is guaranteed
-    because a stream's lead lane always matches itself. Object-space t
-    carries over unchanged (unnormalized direction), so hits merge exactly
-    like the dense path's."""
+    (same lexicographic (near, id) sweep as the dense path) and transforms
+    its ray into that instance's object space; streams then traverse the
+    per-object record table with an OBJECT-root start record (scene build
+    concatenates per-object streams with offset pointers;
+    SceneBuilder.finalize). Instances of one object share a table root, so
+    grouping is by OBJECT: with a single object (the common instancing
+    shape) no grouping is needed at all; with several, lanes counting-sort
+    by object id — far fewer buckets and permutes than per-instance
+    grouping, and only the <=O-1 boundary streams mask any lanes (those are
+    re-offered the same candidate next round; a stream's lead lane always
+    matches itself, so progress is guaranteed). Object-space t carries over
+    unchanged (unnormalized direction), so hits merge exactly like the
+    dense path's."""
     import jax
     from .bvh_stream import bvh_stream_intersect, bvh_stream_intersect_p, LANES
     from .binning import bucket_rank, sort_by_rank
@@ -227,6 +230,7 @@ def _instances_intersect_stream(scene, o, d, tmax, tmin=None, time=None,
     inst = scene["inst"]
     n = o.shape[0]
     I = inst["root"].shape[0]
+    O = inst["obj_roots"].shape[0]
     ids = jnp.arange(I, dtype=jnp.int32)
     if tmin is None:
         tmin = jnp.zeros((n,), jnp.float32)
@@ -267,30 +271,42 @@ def _instances_intersect_stream(scene, o, d, tmax, tmin=None, time=None,
         sub_tmax = jnp.where(lane_act, s["t"], -BIG_T)
         sub_tmin = jnp.where(lane_act, tmin, BIG_T)
 
-        # instance-uniform streams: sort lanes by candidate (dead → bucket I)
-        key = jnp.where(lane_act, sel, I)
-        rank = bucket_rank(key, I + 1)
-        o_s, d_s, tmin_s, tmax_s, key_s = sort_by_rank(
-            rank, o_obj, d_obj, sub_tmin, sub_tmax, key)
-        key_p = jnp.concatenate(
-            [key_s, jnp.full((n_pad - n,), I, jnp.int32)])
-        lead = key_p.reshape(n_streams, LANES)[:, 0]       # stream's instance
-        starts = jnp.where(lead < I, inst["sroot"][jnp.minimum(lead, I - 1)],
-                           -1)
-        mismatch = key_s != jnp.repeat(lead, LANES)[:n]
-        tmax_s = jnp.where(mismatch, -BIG_T, tmax_s)
-        tmin_s = jnp.where(mismatch, BIG_T, tmin_s)
-
-        if any_hit:
-            occ_s = bvh_stream_intersect_p(table, o_s, d_s, tmin_s, tmax_s,
-                                           starts=starts)
-            occ_r = occ_s[rank]
+        if O == 1:
+            # every instance shares the one object's table root: no grouping
+            starts = jnp.broadcast_to(inst["obj_roots"][0], (n_streams,))
+            if any_hit:
+                occ_r = bvh_stream_intersect_p(table, o_obj, d_obj, sub_tmin,
+                                               sub_tmax, starts=starts)
+            else:
+                t_r, prim_r, b1_r, b2_r = bvh_stream_intersect(
+                    table, tris9, o_obj, d_obj, sub_tmin, sub_tmax, starts)
+            processed = lane_act
         else:
-            t_s, prim_s, b1_s, b2_s = bvh_stream_intersect(
-                table, tris9, o_s, d_s, tmin_s, tmax_s, starts)
-            t_r, prim_r, b1_r, b2_r = (t_s[rank], prim_s[rank],
-                                       b1_s[rank], b2_s[rank])
-        processed = lane_act & ~mismatch[rank]
+            # object-uniform streams: sort lanes by object (dead → bucket O)
+            obj = inst["obj"][sel]
+            key = jnp.where(lane_act, obj, O)
+            rank = bucket_rank(key, O + 1)
+            o_s, d_s, tmin_s, tmax_s, key_s = sort_by_rank(
+                rank, o_obj, d_obj, sub_tmin, sub_tmax, key)
+            key_p = jnp.concatenate(
+                [key_s, jnp.full((n_pad - n,), O, jnp.int32)])
+            lead = key_p.reshape(n_streams, LANES)[:, 0]   # stream's object
+            starts = jnp.where(
+                lead < O, inst["obj_roots"][jnp.minimum(lead, O - 1)], -1)
+            mismatch = key_s != jnp.repeat(lead, LANES)[:n]
+            tmax_s = jnp.where(mismatch, -BIG_T, tmax_s)
+            tmin_s = jnp.where(mismatch, BIG_T, tmin_s)
+
+            if any_hit:
+                occ_s = bvh_stream_intersect_p(table, o_s, d_s, tmin_s,
+                                               tmax_s, starts=starts)
+                occ_r = occ_s[rank]
+            else:
+                t_s, prim_s, b1_s, b2_s = bvh_stream_intersect(
+                    table, tris9, o_s, d_s, tmin_s, tmax_s, starts)
+                t_r, prim_r, b1_r, b2_r = (t_s[rank], prim_s[rank],
+                                           b1_s[rank], b2_s[rank])
+            processed = lane_act & ~mismatch[rank]
 
         if any_hit:
             closer = occ_r & processed

@@ -712,12 +712,17 @@ class SceneBuilder:
                 if stream_bytes < VMEM_TABLE_BUDGET:
                     scene["inst"]["stream"] = jnp.asarray(
                         pack_record_rows(all_recs))
+                    # per-OBJECT root records: instances of one object share
+                    # a table root, so the sweep groups streams by object
+                    scene["inst"]["obj_roots"] = jnp.asarray(
+                        np.asarray(obj_rec_root, np.int32))
             inst_obj_rec_root = obj_rec_root
             self.instances = [i for i in self.instances
                               if obj_root[i["obj"]] >= 0]
             I = len(self.instances)
             pk = {"root": np.zeros(I, np.int32),
                   "sroot": np.full(I, -1, np.int32),
+                  "obj": np.zeros(I, np.int32),
                   "t": np.zeros((I, 2, 3), np.float32),
                   "q": np.zeros((I, 2, 4), np.float32),
                   "s": np.zeros((I, 2, 3, 3), np.float32),
@@ -731,6 +736,7 @@ class SceneBuilder:
                 p = tr.animated_pack(ins["m0"], ins["m1"])
                 pk["root"][ii] = obj_root[ins["obj"]]
                 pk["sroot"][ii] = inst_obj_rec_root[ins["obj"]]
+                pk["obj"][ii] = ins["obj"]
                 pk["t"][ii] = p["t"]
                 pk["q"][ii] = p["q"]
                 pk["s"][ii] = p["s"]
