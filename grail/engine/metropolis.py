@@ -41,7 +41,6 @@ _PB = 9   # light_sel, light_u, light_v, light_tri, mis_comp, mis_u, mis_v, bsdf
 
 _LHDR = 6   # light subpath header: light_sel, tri, bary u1,u2, dir u1,u2
 _LPB = 3    # per light bounce: bsdf u1, u2, u_comp
-S_MAX = 2   # light subpath surface vertices y1..y_{S_MAX} (y0 on the light)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,10 +57,17 @@ class MLTConfig:
     # standard sampler-renderer pass; MLT carries only the indirect remainder
 
     @property
+    def s_max(self):
+        """Light subpath surface vertices y1..y_smax (y0 on the light) —
+        full depth, matching the reference's maxDepth light paths
+        (metropolis.cpp GeneratePath; round-5 lift from the old cap of 2)."""
+        return self.max_depth
+
+    @property
     def dim(self):
         d = _HDR + (self.max_depth + 1) * _PB
         if self.bidirectional:
-            d += _LHDR + S_MAX * _LPB
+            d += _LHDR + self.s_max * _LPB
         return d
 
 
@@ -181,21 +187,26 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
     pbrt metropolis.cpp GeneratePath/Lbidir re-architected for SPMD.
 
     A camera subpath (vertices z1..zT from the fixed pixel ray, no RR) and a
-    light subpath (y0 on an area light + y1..yS by BSDF sampling) are built
-    per chain; every (t, s) pairing contributes
+    FULL-DEPTH light subpath (y0 on an area light + y1..y_{max_depth} by BSDF
+    sampling — the reference's maxDepth light paths) are built per chain;
+    every (t, s) pairing contributes
         Tc_t · f_z(zt) · G(zt, y) · [f_y(yj) · Tl_j] · V
     with s=0 the pure camera path hitting an emitter and s=1 area-measure
     next-event estimation. Strategies are combined with BALANCE-heuristic MIS
-    over the area-measure pdfs of every split of the same vertex chain — an
-    upgrade over the reference's uniform 1/N path weighting (documented
-    divergence; the reference is per-strategy-count weighted). Specular
-    connection endpoints are excluded; interior delta pdfs cancel in ratios.
-    Light subpaths use area lights only (other light types are covered by the
-    s<=1 strategies). direct_separate drops the length-<=2 strategies (the
-    reference's "dodirectseparately": a standard direct-lighting pass renders
-    those)."""
+    over the area-measure pdfs of EVERY (t', s') split of the same vertex
+    chain (round-5: the complete enumeration via the forward/reverse
+    area-pdf ratio recurrence, replacing the adjacent-splits-only weight) —
+    an upgrade over the reference's uniform 1/N path weighting (documented
+    divergence; the reference is per-strategy-count weighted). Candidate
+    splits are gated on both endpoints being non-delta-connectible; pdfs of
+    delta-sampled segments are stored remapped to 1 so they cancel in the
+    ratios (the pbrt-v3 remap0 convention). Light subpaths use area lights
+    only (other light types are covered by the s<=1 strategies).
+    direct_separate drops the length-<=2 strategies (the reference's
+    "dodirectseparately": a standard direct-lighting pass renders those)."""
     n = u.shape[0]
     T_MAX = cfg.max_depth + 1           # camera surface vertices z1..zT
+    S_MAX = cfg.s_max                   # light surface vertices y1..yS
     present = meta.lobe_types
 
     px = _col(u, 0) * meta.xres
@@ -233,8 +244,10 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
     # ---------------------------------------------------------- camera walk
     cam_v = []          # z1..zT
     Tc = []             # throughput UP TO vertex (camera importance side)
-    pdfA_cam = []       # area pdf of generating z_i from z_{i-1} (z1 -> 1)
-    delta_ev = []       # the bsdf event sampled AT z_i was specular
+    pdfA_cam = [None]   # [t] = area pdf of generating z_t from z_{t-1}
+    in_dir_cam = [None]  # [t] = world dir of travel z_{t-1} -> z_t
+    seg2_cam = [None]   # [t] = squared length of that segment
+    delta_ev = [None]   # [t] = bsdf event sampled AT z_t was specular
     o, d = rays["o"], rays["d"]
     active = jnp.ones((n,), jnp.bool_)
     thr = jnp.ones((n, 3), jnp.float32)
@@ -247,6 +260,8 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
         pdfA_cam.append(jnp.where(prev_delta, 1.0,
                                   prev_pdf_solid * cosv / seg2)
                         if t else jnp.ones((n,)))
+        in_dir_cam.append(d)
+        seg2_cam.append(seg2)
         cam_v.append(v)
         Tc.append(thr)
         base = _HDR + t * _PB
@@ -276,9 +291,11 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
     d0 = (wl[:, 0:1] * t1v + wl[:, 1:2] * t2v + wl[:, 2:3] * y0["nl"])
     cos0 = jnp.maximum(wl[:, 2], 0.0)
     pdf_dir0 = cos0 * (1.0 / jnp.pi)
-    light_v = []
-    Tl = []              # throughput for connection AT y_j (radiance units)
-    pdfA_light = []      # area pdf of generating y_j from y_{j-1}
+    light_v = [None]     # [j] = y_j
+    Tl = [None]          # [j] = throughput for connection AT y_j
+    pdfA_light = [None]  # [j] = area pdf of generating y_j from y_{j-1}
+    in_dir_light = [None]  # [j] = world dir y_{j-1} -> y_j
+    seg2_light = [None]
     Tl0 = y0["Le"] / jnp.maximum(y0["pdfA"], 1e-12)[..., None]
     l_thr = Tl0 * (cos0 / jnp.maximum(pdf_dir0, 1e-9))[..., None]
     l_active = y0["ok"] & (cos0 > 1e-6) & jnp.any(y0["Le"] > 0, axis=-1)
@@ -291,6 +308,8 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
         cosv = absdot(ld, v["ns"])
         pdfA_light.append(jnp.where(l_prev_delta, 1.0,
                                     l_prev_pdf_solid * cosv / seg2))
+        in_dir_light.append(ld)
+        seg2_light.append(seg2)
         light_v.append(v)
         Tl.append(l_thr)
         lbb = lb + _LHDR + s * _LPB
@@ -309,6 +328,27 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
         lo = v["p"] + wi_w * v["sg"]["ray_eps"][..., None]
         ld = wi_w
 
+    # ---------------------------------- connection-independent reverse pdfs
+    # revA_cam[i] (i <= T-2): area pdf of z_i generated from z_{i+1} when the
+    # light side owns the suffix (BSDF at z_{i+1}, incoming from z_{i+2})
+    revA_cam = {}
+    for i in range(1, T_MAX - 1):
+        zi1 = cam_v[i]                    # z_{i+1}
+        pdfS = pdf_solid(zi1, in_dir_cam[i + 2], -in_dir_cam[i + 1])
+        cos_tgt = absdot(in_dir_cam[i + 1], cam_v[i - 1]["ns"])
+        revA_cam[i] = pdfS * cos_tgt / seg2_cam[i + 1]
+    # camA_light[j] (1 <= j <= S-1): area pdf of y_{j-1} generated from y_j
+    # when the CAMERA side owns y_j (BSDF at y_j, incoming from y_{j+1})
+    camA_light = {}
+    for j in range(1, S_MAX):
+        yj = light_v[j]
+        pdfS = pdf_solid(yj, in_dir_light[j + 1], -in_dir_light[j])
+        if j >= 2:
+            cos_tgt = absdot(in_dir_light[j], light_v[j - 1]["ns"])
+        else:
+            cos_tgt = jnp.abs(dot(in_dir_light[1], y0["nl"]))
+        camA_light[j] = pdfS * cos_tgt / seg2_light[j]
+
     # ------------------------------------------------- connections + MIS
     def seg(a, b):
         vec = b - a
@@ -322,44 +362,65 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
         return ~isect.intersect_p(scene, pa + w * eps_a[..., None], w,
                                   dist * (1.0 - 1e-3) - 2.0 * eps_a)
 
+    ones = jnp.ones((n,), jnp.float32)
+    true_ = jnp.ones((n,), jnp.bool_)
+
+    def remap(x):
+        return jnp.where(x > 0, x, 1.0)
+
+    def full_mis(t, k, fwdA, revA, conn, emissive_k):
+        """Balance weight of strategy `t` (t camera-generated vertices) among
+        every split of the k-vertex chain. fwdA/revA/conn: dicts over chain
+        positions 1..k; emissive_k: the c=k (s'=0) strategy's validity.
+        Light side can generate at most S_MAX+1 vertices; camera at most
+        T_MAX."""
+        inv_w = ones
+        r = ones
+        for c in range(t, 1, -1):        # candidate c-1
+            r = r * remap(revA[c]) / remap(fwdA[c])
+            if k - (c - 1) <= S_MAX + 1:
+                valid = conn[c - 1] & conn[c]
+                inv_w = inv_w + jnp.where(valid, r, 0.0)
+        r = ones
+        for c in range(t, k):            # candidate c+1
+            r = r * remap(fwdA[c + 1]) / remap(revA[c + 1])
+            if c + 1 <= T_MAX:
+                valid = emissive_k if c + 1 == k \
+                    else conn[c + 1] & conn[c + 2]
+                inv_w = inv_w + jnp.where(valid, r, 0.0)
+        return 1.0 / jnp.maximum(inv_w, 1.0)
+
     L = jnp.zeros((n, 3), jnp.float32)
     min_len = 3 if cfg.direct_separate else 1
 
     for t in range(1, T_MAX + 1):
         z = cam_v[t - 1]
         zc = Tc[t - 1]
-        # ---- s = 0: z_t lies on an emitter
+        conn_base = {i: cam_v[i - 1]["conn"] for i in range(1, t + 1)}
+        fwd_base = {i: pdfA_cam[i] for i in range(1, t + 1)}
+
+        # ---- s = 0: z_t lies on an emitter (chain x_1..x_t, x_t = light)
         if lt.AREA in meta.light_types and t >= min_len:
             Le_hit = lt.area_light_emitted(scene, z["sg"], z["wo_world"])
             emit_ok = z["ok"] & jnp.any(Le_hit > 0, axis=-1)
-
-            # weight: strategies t' < t move suffix vertices to light side
-            inv_w = jnp.ones((n,))
-            r = jnp.ones((n,))
-            # t' = t-1: light strategy samples y0 = z_t directly
             li_row = jnp.maximum(z["light"], 0)
-            pdfA_y0 = (1.0 / meta.n_lights) / jnp.maximum(
+            revA = dict(revA_cam)
+            revA[t] = (1.0 / meta.n_lights) / jnp.maximum(
                 scene["lights"]["area"][li_row], 1e-12)
-            prev = cam_v[t - 2] if t >= 2 else None
-            if prev is not None:
-                r = r * pdfA_y0 / jnp.maximum(pdfA_cam[t - 1], 1e-18)
-                ok_s = prev["conn"] & ~delta_ev[t - 1]
-                inv_w = inv_w + jnp.where(ok_s, r, 0.0)
-                # t' = t-2: y0=z_t, y1=z_{t-1} (light samples emission dir)
-                if t >= 3 and S_MAX >= 1:
-                    w_lz, dist_lz, d2_lz = seg(z["p"], prev["p"])
-                    cos_e = absdot(w_lz, z["ns"])
-                    cos_r = absdot(w_lz, prev["ns"])
-                    pl_prev = (cos_e / jnp.pi) * cos_r / d2_lz
-                    r2 = r * pl_prev / jnp.maximum(pdfA_cam[t - 2], 1e-18)
-                    pp = cam_v[t - 3]
-                    ok_s2 = pp["conn"] & prev["conn"] & ~delta_ev[t - 2]
-                    inv_w = inv_w + jnp.where(ok_s2, r2, 0.0)
-            w_mis = 1.0 / jnp.maximum(inv_w, 1.0)
-            L += jnp.where((emit_ok)[..., None],
+            if t >= 2:
+                cos_e = jnp.maximum(dot(z["ng"], -in_dir_cam[t]), 0.0)
+                cos_r = absdot(in_dir_cam[t], cam_v[t - 2]["ns"])
+                revA[t - 1] = (cos_e / jnp.pi) * cos_r / seg2_cam[t]
+            # the chain's last vertex IS the light point: light-side
+            # strategies connect to it regardless of its surface BSDF
+            conn = dict(conn_base)
+            conn[t] = emit_ok
+            w_mis = full_mis(t, t, fwd_base, revA, conn, emit_ok)
+            L += jnp.where(emit_ok[..., None],
                            zc * Le_hit * w_mis[..., None], 0.0)
 
         # ---- s = 1: next-event estimation to an area-light point
+        #      (chain x_1..x_{t+1}, x_{t+1} = y0)
         if meta.n_lights > 0 and t + 1 >= min_len:
             base = _HDR + (t - 1) * _PB
             y = _area_light_point(scene, meta, _col(u, base + 0),
@@ -375,30 +436,30 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
             G = cos_z * jnp.abs(cos_y) / d2
             C = zc * f_z * y["Le"] * (G / jnp.maximum(y["pdfA"], 1e-12)
                                       )[..., None]
-            # weight vs: camera hitting the light (t'=t+1), deeper light
-            # strategies omitted beyond S_MAX
-            pc_y = pdf_solid(z, z["wo_world"], w_zy) * jnp.abs(cos_y) / d2
-            inv_w = jnp.ones((n,))
-            if t + 1 <= T_MAX:     # (t+1, s=0) exists within truncation
-                r = pc_y / jnp.maximum(y["pdfA"], 1e-12)
-                inv_w = inv_w + r
-            if t >= 2 and S_MAX >= 1:
-                # t'=t-1: y1 = z_t sampled from the light side
-                cos_e = dot(y["nl"], -w_zy)
-                pl_z = (jnp.maximum(cos_e, 0.0) / jnp.pi) * cos_z / d2
-                prev = cam_v[t - 2]
-                r2 = pl_z / jnp.maximum(pdfA_cam[t - 1], 1e-18)
-                ok_s = prev["conn"] & ~delta_ev[t - 1]
-                inv_w = inv_w + jnp.where(ok_s, r2, 0.0)
-            w_mis = 1.0 / jnp.maximum(inv_w, 1.0)
+            fwdA = dict(fwd_base)
+            fwdA[t + 1] = (pdf_solid(z, z["wo_world"], w_zy)
+                           * jnp.abs(cos_y) / d2)
+            revA = dict(revA_cam)
+            revA[t + 1] = y["pdfA"]
+            revA[t] = ((jnp.maximum(cos_y, 0.0) / jnp.pi) * cos_z / d2)
+            if t >= 2:
+                pdfS = pdf_solid(z, w_zy, -in_dir_cam[t])
+                cos_tgt = absdot(in_dir_cam[t], cam_v[t - 2]["ns"])
+                revA[t - 1] = pdfS * cos_tgt / seg2_cam[t]
+            conn = dict(conn_base)
+            conn[t + 1] = y["ok"]
+            emis_k = jnp.any(y["Le"] > 0, axis=-1)
+            w_mis = full_mis(t, t + 1, fwdA, revA, conn, emis_k)
             L += jnp.where((can & V)[..., None], C * w_mis[..., None], 0.0)
 
         # ---- s >= 2: connect z_t to light subpath vertex y_j
-        for s in range(1, S_MAX + 1):
-            if t + s + 1 < min_len:
+        #      (chain x_1..x_k, k = t + j + 1; x_{t+1} = y_j ... x_k = y0)
+        for j in range(1, S_MAX + 1):
+            if t + j + 2 < min_len:
                 continue
-            y = light_v[s - 1]
-            yT = Tl[s - 1]
+            k = t + j + 1
+            y = light_v[j]
+            yT = Tl[j]
             w_zy, dist, d2 = seg(z["p"], y["p"])
             cos_z = absdot(w_zy, z["ns"])
             cos_y = absdot(w_zy, y["ns"])
@@ -409,22 +470,32 @@ def eval_path_bidir(scene, meta, cfg: MLTConfig, u):
             V = visible(z["p"], z["sg"]["ray_eps"], y["p"], w_zy, dist)
             G = cos_z * cos_y / d2
             C = zc * f_z * G[..., None] * f_y * yT
-            # balance over neighboring splits (one step each way; deeper
-            # alternatives carry the same truncation as the estimator)
-            inv_w = jnp.ones((n,))
-            if t + 1 <= T_MAX:     # (t+1, s-1) exists within truncation
-                pc_y = pdf_solid(z, z["wo_world"], w_zy) * cos_y / d2
-                r = pc_y / jnp.maximum(pdfA_light[s - 1], 1e-18)
-                ok_e = ~delta_ev[t - 1] if t >= 1 else jnp.ones((n,), bool)
-                if s >= 2:
-                    ok_e = ok_e & light_v[s - 2]["conn"]
-                inv_w = inv_w + jnp.where(ok_e, r, 0.0)
-            if t >= 2 and s + 1 <= S_MAX:   # (t-1, s+1) exists
-                pl_z = pdf_solid(y, y["wo_world"], -w_zy) * cos_z / d2
-                r2 = pl_z / jnp.maximum(pdfA_cam[t - 1], 1e-18)
-                ok_s = cam_v[t - 2]["conn"] & ~delta_ev[t - 1]
-                inv_w = inv_w + jnp.where(ok_s, r2, 0.0)
-            w_mis = 1.0 / jnp.maximum(inv_w, 1.0)
+
+            fwdA = dict(fwd_base)
+            fwdA[t + 1] = pdf_solid(z, z["wo_world"], w_zy) * cos_y / d2
+            if j >= 2:
+                cos_tgt = absdot(in_dir_light[j], light_v[j - 1]["ns"])
+            else:
+                cos_tgt = jnp.abs(dot(in_dir_light[1], y0["nl"]))
+            fwdA[t + 2] = (pdf_solid(y, -w_zy, -in_dir_light[j])
+                           * cos_tgt / seg2_light[j])
+            for i in range(t + 3, k + 1):
+                fwdA[i] = camA_light[j - (i - t - 2)]
+            revA = dict(revA_cam)
+            for i in range(t + 1, k):
+                revA[i] = pdfA_light[j - (i - t - 1)]
+            revA[k] = y0["pdfA"]
+            revA[t] = pdf_solid(y, y["wo_world"], -w_zy) * cos_z / d2
+            if t >= 2:
+                pdfS = pdf_solid(z, w_zy, -in_dir_cam[t])
+                cos_tgt = absdot(in_dir_cam[t], cam_v[t - 2]["ns"])
+                revA[t - 1] = pdfS * cos_tgt / seg2_cam[t]
+            conn = dict(conn_base)
+            for i in range(t + 1, k):
+                conn[i] = light_v[j - (i - t - 1)]["conn"]
+            conn[k] = y0["ok"]
+            emis_k = jnp.any(y0["Le"] > 0, axis=-1)
+            w_mis = full_mis(t, k, fwdA, revA, conn, emis_k)
             L += jnp.where((can & V)[..., None], C * w_mis[..., None], 0.0)
 
     L = jnp.where(jnp.isfinite(L), L, 0.0)

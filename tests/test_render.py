@@ -294,8 +294,10 @@ def test_mlt_caustic_scene_matches_long_path_reference():
 
     rel = np.abs(blocks(gold) - blocks(img_ref)) / np.maximum(
         blocks(img_ref), 0.02)
-    assert np.median(rel) < 0.08, np.median(rel)
-    assert np.quantile(rel, 0.9) < 0.2, np.quantile(rel, 0.9)
+    # round-5 full-depth light subpaths + complete-split MIS measured
+    # median 4.1% / q90 8.7%; thresholds tightened from 8%/20% accordingly
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert np.quantile(rel, 0.9) < 0.10, np.quantile(rel, 0.9)
 
 
 def test_photon_map_matches_path_reference():
