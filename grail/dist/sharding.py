@@ -169,7 +169,7 @@ def render_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh, film=None,
     for per-wave progress/checkpointing)."""
     if film is None:
         film = flm.new_film(meta.xres, meta.yres)
-    aux = _preprocess_aux(scene, meta, cfg)
+    aux = _preprocess_aux(scene, meta, cfg, mesh=mesh)
     if fused:
         film = _render_all_sharded_jit(scene, meta, cfg, film, spp, mesh, aux)
         return flm.develop(film), film
@@ -239,15 +239,27 @@ def render_scene_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh,
     return flm.develop(film), film
 
 
-def _preprocess_aux(scene, meta, cfg):
-    """Integrator preprocessing (photon shooting, VPLs, probes, dipole) —
-    runs replicated before the sharded dispatch (P3: the shoot itself is a
-    device-wide batch; its output pytree is replicated into every shard)."""
+def _preprocess_aux(scene, meta, cfg, mesh=None):
+    """Integrator preprocessing (photon shooting, VPLs, probes, dipole).
+
+    With a mesh, photon shooting fans out across the devices (SURVEY §2.10
+    P3, PhotonShootingTask analog): each device shoots a disjoint slice of
+    the counter stream inside shard_map and the all_gathered grid is bitwise
+    identical to the replicated shoot (tests/test_sharding.py). Other
+    preprocesses still run replicated (their cost is negligible at current
+    scales; same fan-out recipe applies)."""
     if cfg.kind == "photon":
-        from ..engine.photonmap import shoot_photons, PhotonConfig
+        from ..engine.photonmap import (shoot_photons, shoot_photons_sharded,
+                                        PhotonConfig)
         pcfg = PhotonConfig(n_paths=cfg.photon_paths,
                             radius=cfg.photon_radius,
                             final_gather=cfg.photon_final_gather)
+        if mesh is not None and mesh.devices.size > 1 \
+                and pcfg.n_paths % mesh.devices.size == 0:
+            fn = shard_map(
+                lambda s: shoot_photons_sharded(s, meta, pcfg),
+                mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False)
+            return jax.jit(fn)(scene)
         return jax.jit(shoot_photons, static_argnums=(1, 2))(scene, meta, pcfg)
     if cfg.kind in ("diffuseprt", "glossyprt"):
         from ..engine.prt import prt_preprocess

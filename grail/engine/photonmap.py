@@ -59,11 +59,17 @@ class PhotonConfig:
     cos_gather_angle: float = 0.9848077  # cos(10°)
 
 
-def shoot_photons(scene, meta, cfg: PhotonConfig, seed=0):
-    """Trace light paths, returning photon SoA + caustic/indirect masks."""
-    n = cfg.n_paths
+def _shoot_block(scene, meta, cfg: PhotonConfig, samp0, count, seed=0):
+    """Trace `count` light paths with sampler indices samp0..samp0+count-1.
+
+    The counter-based sampler makes every path a pure function of its samp
+    index, so any partition of [0, n_paths) over devices shoots the same
+    photons as one replicated pass (SURVEY §2.10 P3). Returns the raw
+    per-(depth, lane) photon SoA (depth-major, matching the replicated
+    concatenation order)."""
+    n = count
     pix = jnp.full((n,), 0xC0FFEE ^ seed, jnp.uint32)
-    samp = jnp.arange(n, dtype=jnp.uint32)
+    samp = samp0 + jnp.arange(n, dtype=jnp.uint32)
 
     u_pick = rngmod.sample_1d(meta.sampler, pix, samp, _PH_DIM)
     li, pmf = mc.sample_distribution_1d_discrete(scene["light_power_dist"],
@@ -72,7 +78,7 @@ def shoot_photons(scene, meta, cfg: PhotonConfig, seed=0):
     us = [rngmod.sample_1d(meta.sampler, pix, samp, _PH_DIM + 1 + k)
           for k in range(4)]
     p0, d0, alpha = _light_emission_sample(scene, meta, li, *us)
-    alpha = alpha / jnp.maximum(pmf, 1e-9)[..., None] / n
+    alpha = alpha / jnp.maximum(pmf, 1e-9)[..., None] / cfg.n_paths
 
     pts, alphas, wis, valid, caustic = [], [], [], [], []
     o, d = p0 + d0 * 1e-4, d0
@@ -116,13 +122,42 @@ def shoot_photons(scene, meta, cfg: PhotonConfig, seed=0):
         o = sg["p"] + wi_w * sg["ray_eps"][..., None]
         d = wi_w
 
-    photons = {
+    return {
         "p": jnp.concatenate(pts),
         "alpha": jnp.concatenate(alphas),
         "wi": jnp.concatenate(wis),
         "valid": jnp.concatenate(valid),
         "caustic": jnp.concatenate(caustic),
     }
+
+
+def shoot_photons(scene, meta, cfg: PhotonConfig, seed=0):
+    """Trace light paths, returning the photon grid (replicated shoot)."""
+    photons = _shoot_block(scene, meta, cfg, jnp.uint32(0), cfg.n_paths, seed)
+    return build_photon_grid(scene, photons, cfg)
+
+
+def shoot_photons_sharded(scene, meta, cfg: PhotonConfig, seed=0,
+                          axis="dev"):
+    """P3 distributed preprocess: call INSIDE shard_map. Each device shoots a
+    disjoint slice of the counter stream (paths [k·per, (k+1)·per)), the
+    photon SoA is all_gathered and re-laid-out to the replicated
+    depth-major order, so the resulting grid is BITWISE identical to
+    shoot_photons on every device (SURVEY §2.10 P3 — PhotonShootingTask
+    fan-out + merge, with counters instead of mutexes). Requires n_paths
+    divisible by the axis size (PhotonConfig callers round up)."""
+    D = jax.lax.axis_size(axis)
+    k = jax.lax.axis_index(axis)
+    per = cfg.n_paths // D
+    block = _shoot_block(scene, meta, cfg, jnp.uint32(k * per), per, seed)
+
+    def regather(x):
+        g = jax.lax.all_gather(x, axis)          # (D, max_depth*per, ...)
+        g = g.reshape((D, cfg.max_depth, per) + x.shape[1:])
+        g = jnp.swapaxes(g, 0, 1)                # (max_depth, D, per, ...)
+        return g.reshape((cfg.max_depth * D * per,) + x.shape[1:])
+
+    photons = {key: regather(v) for key, v in block.items()}
     return build_photon_grid(scene, photons, cfg)
 
 
@@ -134,16 +169,23 @@ def _cell_id(scene, cfg, p):
 
 
 def build_photon_grid(scene, photons, cfg):
-    """Sort photons by grid cell; invalid photons sort to the end (id=max)."""
-    cid = jnp.where(photons["valid"], _cell_id(scene, cfg, photons["p"]),
+    """Sort photons by grid cell; invalid photons sort to the end (id=max).
+
+    Invalid entries are zeroed: they are masked out of every estimate anyway,
+    and their garbage dead-lane values would otherwise differ across batch
+    shapes (einsum reassociation), breaking the P3 distributed-shoot
+    bitwise-equality contract."""
+    ok = photons["valid"]
+    cid = jnp.where(ok, _cell_id(scene, cfg, photons["p"]),
                     jnp.int32(2 ** 30))
     order = jnp.argsort(cid)
+    z3 = lambda a: jnp.where(ok[..., None], a, 0.0)
     return {
-        "p": photons["p"][order],
-        "alpha": photons["alpha"][order],
-        "wi": photons["wi"][order],
-        "valid": photons["valid"][order],
-        "caustic": photons["caustic"][order],
+        "p": z3(photons["p"])[order],
+        "alpha": z3(photons["alpha"])[order],
+        "wi": z3(photons["wi"])[order],
+        "valid": ok[order],
+        "caustic": (photons["caustic"] & ok)[order],
         "cid": cid[order],
     }
 

@@ -52,3 +52,32 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_distributed_photon_shoot_bitwise():
+    """P3 distributed preprocess (SURVEY §2.10): photon shooting fanned out
+    over the 8-device mesh — each device shoots a disjoint counter-stream
+    slice, all_gathers, and rebuilds the grid — must equal the replicated
+    shoot BITWISE (same counters → same photons, re-laid-out to the same
+    depth-major order before the grid sort)."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from grail.scene.presets import cornell_box
+    from grail.engine.photonmap import (shoot_photons, shoot_photons_sharded,
+                                        PhotonConfig)
+    from grail.dist.sharding import make_mesh
+
+    scene, meta, _ = cornell_box(xres=8, yres=8, spp=1)
+    pcfg = PhotonConfig(n_paths=2048, radius=0.3)
+    rep = jax.jit(shoot_photons, static_argnums=(1, 2))(scene, meta, pcfg)
+
+    mesh = make_mesh(8)
+    fn = shard_map(lambda s: shoot_photons_sharded(s, meta, pcfg),
+                   mesh=mesh, in_specs=(P(),), out_specs=P(),
+                   check_vma=False)
+    dist = jax.jit(fn)(scene)
+    for k in rep:
+        np.testing.assert_array_equal(np.asarray(rep[k]),
+                                      np.asarray(dist[k]), err_msg=k)
