@@ -21,10 +21,14 @@ Determinism: hits merge by lexicographic (t, global prim id), which is
 visit-order independent, so the image is BITWISE identical to the replicated
 render (verified in tests/test_scene_shard.py).
 
-Prototype notes (honest limits, see SURVEY §5.7):
-* per-shard intersection is brute-force Möller-Trumbore over the shard
-  (correctness harness; a production shard would carry its own BVH stream
-  table — the record layout is shard-local already);
+Ring step 2 (round 5): partition_scene(stream=True) builds a per-shard SAH
+BVH + Pallas stream table, so the local step is O(log T/D) per ray instead
+of the brute O(T/D) sweep — per-device geometry O(T/D) AND logarithmic
+per-shard work. The brute local step remains the default for its exact
+bitwise-vs-replicated tie-breaking contract (stream traversal keeps the
+first-visited among exact-equal-t hits instead of the lowest gid).
+
+Remaining honest limits (see SURVEY §5.7):
 * the carried attribute record is ~30 floats/ray of ppermute traffic; the
   bandwidth-lean variant rings only (t, prim, owner) and fetches attributes
   with one all_to_all at the end;
@@ -57,14 +61,23 @@ def _morton(c, bits=10):
     return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
 
 
-def partition_scene(scene, n_shards):
+def partition_scene(scene, n_shards, stream=False):
     """Host-side spatial partition of the triangle soup into n_shards.
 
     Triangles are Morton-ordered by centroid, cut into n_shards contiguous
     chunks (spatially compact shards), then each shard is re-sorted by global
     id so per-shard argmin tie-breaking matches the replicated brute path
     (lowest global prim id wins among exact-equal t). Returns a pytree whose
-    leaves have leading axis n_shards (pad triangles are degenerate)."""
+    leaves have leading axis n_shards (pad triangles are degenerate).
+
+    stream=True (opt-in; default False keeps the brute local step and its
+    bitwise-vs-replicated contract) also
+    builds a PER-SHARD SAH BVH + stream record table (round-5 'ring step 2':
+    the ring's local step runs the Pallas stream kernel instead of brute
+    Möller-Trumbore, making per-ray work O(log T/D) per shard while
+    per-device geometry stays O(T/D)). Record prim ids are LOCAL SLOTS into
+    the shard's gid-sorted field arrays, so the carried-record gather and
+    the (t, gid) merge are unchanged."""
     verts = np.asarray(scene["verts"], np.float32)
     idx = np.asarray(scene["tri_idx"], np.int64)
     vnorm = np.asarray(scene["vnorm"], np.float32)
@@ -89,6 +102,7 @@ def partition_scene(scene, n_shards):
     }
     out = {k: [] for k in fields}
     out["gid"] = []
+    tables = []
     for s in range(n_shards):
         members = np.sort(order[s * per:(s + 1) * per])   # ascending global id
         pad = per - len(members)
@@ -104,14 +118,53 @@ def partition_scene(scene, n_shards):
         if pad:
             gid = np.concatenate([gid, np.full(pad, 2 ** 30, np.int32)])
         out["gid"].append(gid)
-    return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+        if stream and len(members):
+            from ..scene.bvh import build_bvh_auto
+            from ..kernels.bvh_stream import (build_stream_records,
+                                              pack_record_rows)
+            sub_idx = idx[members]
+            b = build_bvh_auto(verts, sub_idx, max_prims=4, force_leaf=4)
+            sv0 = verts[sub_idx[:, 0]]
+            tris9 = np.concatenate(
+                [sv0, verts[sub_idx[:, 1]] - sv0, verts[sub_idx[:, 2]] - sv0],
+                axis=1).astype(np.float32)
+            ordered = tris9[np.asarray(b["prim_ids"], np.int64)]
+            # prim ids = LOCAL SLOTS into the shard's gid-sorted arrays
+            recs = build_stream_records(b, ordered,
+                                        prim_map=np.arange(len(members)))
+            tables.append(pack_record_rows(recs))
+
+    ring = {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+    if tables and len(tables) == n_shards:
+        rows = max(t.shape[0] for t in tables)
+        tables = [np.pad(t, ((0, rows - t.shape[0]), (0, 0)))
+                  for t in tables]
+        ring["stream"] = jnp.asarray(np.stack(tables))
+    return ring
 
 
 def _local_hit(shard, o, d, tmin, tmax):
-    """Brute Möller-Trumbore of the resident ray queue against the local
-    shard — the SAME formulation as kernels.intersect.moller_trumbore so ring
+    """Closest hit of the resident ray queue against the local shard.
+
+    With a per-shard stream table (ring step 2): the Pallas stream-kernel
+    traversal — O(log T/D) per ray instead of the O(T/D) brute sweep; prim
+    ids come back as local slots, so the carried-record gather and the
+    (t, gid) merge are unchanged. Without one: brute Möller-Trumbore with
+    the SAME formulation as kernels.intersect.moller_trumbore so ring
     results are bitwise identical to the replicated brute path. Ties broken
-    by lowest global id (shards are gid-sorted; argmin picks the first)."""
+    by lowest global id (shards are gid-sorted; brute argmin picks the
+    first; the stream kernel keeps the first-visited strictly-closer hit,
+    which can differ only on exact-equal t across distinct triangles)."""
+    if "stream" in shard:
+        from ..kernels.bvh_stream import bvh_stream_intersect
+        tris9 = jnp.concatenate(
+            [shard["v0"], shard["e1"], shard["e2"]], axis=1)
+        t, slot, b1, b2 = bvh_stream_intersect(
+            shard["stream"], tris9, o, d, tmin, tmax)
+        ok = slot >= 0
+        return {"t": jnp.where(ok, t, BIG_T),
+                "slot": jnp.maximum(slot, 0), "ok": ok, "b1": b1, "b2": b2}
     from ..kernels.intersect import moller_trumbore
     hit, t, b1, b2 = moller_trumbore(
         o[:, None, :], d[:, None, :], shard["v0"][None], shard["e1"][None],

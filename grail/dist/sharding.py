@@ -182,7 +182,7 @@ def render_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh, film=None,
 
 
 def render_scene_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh,
-                         film=None):
+                         film=None, stream=False):
     """P6 scene sharding (SURVEY §2.10 P6 / §5.7): triangles partitioned
     spatially across the mesh — no device holds the whole mesh — with pixel
     rows sharded over the SAME axis. Every traversal inside the bounce loop
@@ -210,7 +210,7 @@ def render_scene_sharded(scene, meta, cfg: IntegratorConfig, spp, mesh,
     # mode (collective mismatch) — disable it here
     cfg = dataclasses.replace(cfg, compact=False)
     n_dev = mesh.devices.size
-    ring = partition_scene(scene, n_dev)
+    ring = partition_scene(scene, n_dev, stream=stream)
     mesh_keys = ("verts", "vnorm", "vuv", "tri_idx", "tri_mat", "tri_light",
                  "tri_flags", "tri_alpha", "bvh")
     base = {k: v for k, v in scene.items() if k not in mesh_keys}

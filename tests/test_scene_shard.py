@@ -78,3 +78,24 @@ def test_scene_sharded_render_matches_replicated():
     mesh = make_mesh()
     img8, _ = render_scene_sharded(scene, meta, cfg, spp=2, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
+
+
+def test_ring_stream_local_step_matches_replicated():
+    """Ring step 2: per-shard Pallas stream tables (interpret mode on CPU)
+    must reproduce the replicated render — per-device geometry O(T/D) AND
+    O(log T/D) per-shard work. Tolerance is tight-allclose rather than
+    bitwise: the stream traversal keeps the first-visited among
+    exact-equal-t hits instead of the brute argmin's lowest-gid convention."""
+    import os
+    scene, meta, _ = cornell_box(xres=16, yres=16, spp=2)
+    cfg = IntegratorConfig(kind="path", max_depth=3, compact=False)
+    img_rep, _ = render(scene, meta, cfg, spp=2)
+    os.environ["GRAIL_PALLAS_INTERPRET"] = "1"
+    try:
+        img_ring, _ = render_scene_sharded(scene, meta, cfg, spp=2,
+                                           mesh=make_mesh(8), stream=True)
+    finally:
+        os.environ.pop("GRAIL_PALLAS_INTERPRET", None)
+    a, b = np.asarray(img_rep), np.asarray(img_ring)
+    assert a.mean() > 1e-3
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-4)
