@@ -58,7 +58,8 @@ LANES = 128               # rays per sub-packet
 BLOCK = ROWS * LANES      # rays per grid step
 FIELDS = 16               # 10 used + pad to a power of two (shift addressing)
 RECS_PER_ROW = 8
-UNROLL = 4
+import os as _os0
+UNROLL = int(_os0.environ.get("GRAIL_STREAM_UNROLL", "4"))
 STACK = 96                # per-sub-packet right-child stack (SMEM), slot 0 unused
 BIG_T = jnp.float32(3.0e37)
 
