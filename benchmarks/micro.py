@@ -145,6 +145,30 @@ def main():
     timeit("megabatch shade (sorted, fused)", mb_stage, sg, wo_local, pix,
            samp, n_rays=n)
 
+    # the PRODUCTION shading shape: the same fused per-bounce BSDF work
+    # (light-branch f/pdf + continuation sample + reuse pdf) at full width
+    # through the masked path — the measured reason the sort is off
+    from grail.shade.megabatch import _make_branches
+
+    @jax.jit
+    def fw_stage(sg, wo_local, pix, samp):
+        gen = _make_branches(scene, meta, n)[-2]
+        u2d = rngmod.sample_2d(meta.sampler, pix, samp, 10)
+        u3 = rngmod.sample_1d(meta.sampler, pix, samp, 11)
+        lidx, _ = _pick_light(scene, meta, cfg_p, pix, samp, 0,
+                              jnp.ones((n,), bool))
+        ls = lmod.sample_li(scene, lidx, sg["p"], u2d[0], u2d[1], u3,
+                            meta.light_types, meta.light_image_rows)
+        ub = rngmod.sample_2d(meta.sampler, pix, samp, 12)
+        uc = rngmod.sample_1d(meta.sampler, pix, samp, 13)
+        blk = {"wo": wo_local, "wil": geomod.world_to_local(sg, ls["wi"]),
+               "u1": ub[0], "u2": ub[1], "uc": uc, "p": sg["p"],
+               "uv": sg["uv"], "ns": sg["ns"], "ss": sg["ss"],
+               "ts": sg["ts"], "mat": jnp.maximum(sg["mat"], 0)}
+        return gen(blk)
+    timeit("fused shade full-width (masked)", fw_stage, sg, wo_local, pix,
+           samp, n_rays=n)
+
     # ---- film scatter-add
     film = flm.new_film(meta.xres, meta.yres)
     L = jnp.ones((n, 3), jnp.float32)
