@@ -29,15 +29,23 @@ RESULTS = {}
 
 
 def timeit(name, fn, *args, iters=20, n_rays=None):
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    try:
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+    except Exception as e:     # noqa: BLE001 — a faulted tunnel must not
+        # erase the rows already measured; record the error and continue
+        # (the wedged-client caveat in bench.py applies: later rows in this
+        # process will likely also fail)
+        print(f"{name:36s} FAILED: {str(e)[:120]}")
+        RESULTS[name] = {"error": str(e)[:200]}
+        return 1.0
     rate = f"  {n_rays / dt / 1e6:9.1f} Mrays/s" if n_rays else ""
     print(f"{name:36s} {dt * 1e3:9.3f} ms{rate}   (compile {compile_s:.1f}s)")
     RESULTS[name] = {"ms": dt * 1e3,

@@ -525,6 +525,69 @@ def _mutate(u, key_pix, step_idx, cfg: MLTConfig):
     return jnp.stack(cols, axis=1), large
 
 
+def _bootstrap(scene, meta, cfg: MLTConfig, evalf, seed_arr):
+    """Bootstrap phase: luminances of n_bootstrap fresh paths → normalization
+    b + chain starts resampled proportional to luminance."""
+    D = cfg.dim
+    n = cfg.n_chains
+    pix = jnp.arange(cfg.n_bootstrap, dtype=jnp.uint32) ^ seed_arr[0]
+    samp = jnp.zeros(cfg.n_bootstrap, jnp.uint32)
+    u = jnp.stack([rngmod.sample_1d(
+        rngmod.SamplerConfig(kind=rngmod.RANDOM), pix, samp, dcol)
+        for dcol in range(D)], axis=1)
+    Lb, _, _ = evalf(scene, meta, cfg, u)
+    y = luminance(Lb)
+    b = jnp.mean(y)
+    dist = mc.build_distribution_1d(jnp.maximum(y, 1e-12))
+    u_pick = rngmod.sample_1d(rngmod.SamplerConfig(kind=rngmod.RANDOM),
+                              pix[:n], samp[:n], 777777)
+    idx, _ = mc.sample_distribution_1d_discrete(dist, u_pick)
+    return u[idx], b
+
+
+def _mlt_wave(scene, meta, cfg: MLTConfig, evalf, film, u, wave_idx,
+              chain_base=0):
+    """One wave of mutations_per_wave Metropolis steps for a chain batch.
+
+    chain_base: the batch's first GLOBAL chain index — mutation streams are
+    keyed by global chain id, so any partition of the chains over devices
+    advances the identical trajectories (SURVEY §2.10 P4)."""
+    n = u.shape[0]
+    L_cur, px_c, py_c = evalf(scene, meta, cfg, u)
+    y_cur = luminance(L_cur)
+
+    def step(carry, k):
+        film, u, L_cur, y_cur = carry
+        key_pix = ((chain_base + jnp.arange(n, dtype=jnp.uint32))
+                   ^ (wave_idx * jnp.uint32(7919))
+                   ^ (k * jnp.uint32(104729)))
+        u_prop, large = _mutate(u, key_pix, k, cfg)
+        L_prop, px_p, py_p = evalf(scene, meta, cfg, u_prop)
+        y_prop = luminance(L_prop)
+        a = jnp.minimum(1.0, y_prop / jnp.maximum(y_cur, 1e-12))
+        # Kelemen weighted splats of both states
+        w_cur = (1.0 - a) / jnp.maximum(y_cur, 1e-12)
+        w_prop = a / jnp.maximum(y_prop, 1e-12)
+        px_c2 = _col(u, 0) * meta.xres
+        py_c2 = _col(u, 1) * meta.yres
+        film = flm.splat(film, px_c2, py_c2, L_cur * w_cur[..., None])
+        film = flm.splat(film, px_p, py_p, L_prop * w_prop[..., None])
+        # accept/reject
+        u_acc = rngmod.sample_1d(rngmod.SamplerConfig(kind=rngmod.RANDOM),
+                                 key_pix, jnp.full((n,), k, jnp.uint32),
+                                 555555)
+        accept = u_acc < a
+        u_new = jnp.where(accept[:, None], u_prop, u)
+        L_new = jnp.where(accept[:, None], L_prop, L_cur)
+        y_new = jnp.where(accept, y_prop, y_cur)
+        return (film, u_new, L_new, y_new), None
+
+    (film, u, _, _), _ = jax.lax.scan(
+        step, (film, u, L_cur, y_cur),
+        jnp.arange(cfg.mutations_per_wave, dtype=jnp.uint32))
+    return film, u
+
+
 def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
     """Full MLT render: bootstrap → chains → splat; returns (image, film).
 
@@ -533,66 +596,15 @@ def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
     sample (metropolis.cpp doDirectSeparately) and the MLT phase carries only
     the remainder."""
     n = cfg.n_chains
-    D = cfg.dim
     evalf = eval_path_bidir if cfg.bidirectional else eval_path
 
-    @jax.jit
-    def bootstrap(seed_arr):
-        pix = jnp.arange(cfg.n_bootstrap, dtype=jnp.uint32) ^ seed_arr[0]
-        samp = jnp.zeros(cfg.n_bootstrap, jnp.uint32)
-        u = jnp.stack([rngmod.sample_1d(
-            rngmod.SamplerConfig(kind=rngmod.RANDOM), pix, samp, dcol)
-            for dcol in range(D)], axis=1)
-        Lb, _, _ = evalf(scene, meta, cfg, u)
-        y = luminance(Lb)
-        b = jnp.mean(y)
-        # resample chain starts proportional to y
-        dist = mc.build_distribution_1d(jnp.maximum(y, 1e-12))
-        u_pick = rngmod.sample_1d(rngmod.SamplerConfig(kind=rngmod.RANDOM),
-                                  pix[:n], samp[:n], 777777)
-        idx, _ = mc.sample_distribution_1d_discrete(dist, u_pick)
-        return u[idx], b
-
+    bootstrap = jax.jit(lambda s: _bootstrap(scene, meta, cfg, evalf, s))
     seeds = jnp.asarray([seed], jnp.uint32)
     u, b = bootstrap(seeds)
 
     film = flm.new_film(meta.xres, meta.yres)
-
-    @jax.jit
-    def wave(film, u, wave_idx):
-        L_cur, px_c, py_c = evalf(scene, meta, cfg, u)
-        y_cur = luminance(L_cur)
-
-        def step(carry, k):
-            film, u, L_cur, y_cur = carry
-            key_pix = (jnp.arange(n, dtype=jnp.uint32)
-                       ^ (wave_idx * jnp.uint32(7919))
-                       ^ (k * jnp.uint32(104729)))
-            u_prop, large = _mutate(u, key_pix, k, cfg)
-            L_prop, px_p, py_p = evalf(scene, meta, cfg, u_prop)
-            y_prop = luminance(L_prop)
-            a = jnp.minimum(1.0, y_prop / jnp.maximum(y_cur, 1e-12))
-            # Kelemen weighted splats of both states
-            w_cur = (1.0 - a) / jnp.maximum(y_cur, 1e-12)
-            w_prop = a / jnp.maximum(y_prop, 1e-12)
-            px_c2 = _col(u, 0) * meta.xres
-            py_c2 = _col(u, 1) * meta.yres
-            film = flm.splat(film, px_c2, py_c2, L_cur * w_cur[..., None])
-            film = flm.splat(film, px_p, py_p, L_prop * w_prop[..., None])
-            # accept/reject
-            u_acc = rngmod.sample_1d(rngmod.SamplerConfig(kind=rngmod.RANDOM),
-                                     key_pix, jnp.full((n,), k, jnp.uint32),
-                                     555555)
-            accept = u_acc < a
-            u_new = jnp.where(accept[:, None], u_prop, u)
-            L_new = jnp.where(accept[:, None], L_prop, L_cur)
-            y_new = jnp.where(accept, y_prop, y_cur)
-            return (film, u_new, L_new, y_new), None
-
-        (film, u, _, _), _ = jax.lax.scan(
-            step, (film, u, L_cur, y_cur),
-            jnp.arange(cfg.mutations_per_wave, dtype=jnp.uint32))
-        return film, u
+    wave = jax.jit(lambda film, u, wv: _mlt_wave(scene, meta, cfg, evalf,
+                                                 film, u, wv))
 
     total_mutations = 0
     for wv in range(n_waves):
@@ -602,6 +614,11 @@ def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
     # splat normalization: E[image] = b · splat / n_mutations · n_pixels
     splat_scale = float(b) * meta.xres * meta.yres / total_mutations
     img = flm.develop(film, splat_scale=splat_scale)
+    img = _maybe_direct(scene, meta, cfg, img)
+    return img, film
+
+
+def _maybe_direct(scene, meta, cfg, img):
     if cfg.direct_separate:
         from .render import render as _render
         from .integrator import IntegratorConfig
@@ -609,4 +626,53 @@ def render_mlt(scene, meta, cfg: MLTConfig, n_waves=8, seed=0):
                            IntegratorConfig(kind="direct", max_depth=0,
                                             light_strategy="all"), spp=8)
         img = img + img_d
+    return img
+
+
+def render_mlt_sharded(scene, meta, cfg: MLTConfig, n_waves, mesh, seed=0):
+    """P4 multi-chip Metropolis (SURVEY §2.10): chains sharded over the
+    device mesh. Mutation streams are keyed by GLOBAL chain index, so each
+    device advances exactly the chains the single-device run would (its
+    n_chains/D slice), splatting into a device-local film; ONE psum merges
+    at the end — the TPU analog of the reference's per-task films +
+    film mutex (metropolis.cpp MLTTask::Run). Chain trajectories are
+    identical to render_mlt; the merged film differs only by float
+    accumulation order. Bootstrap runs replicated (one shared normalization
+    b and chain-start set, exactly as the reference computes one global
+    bootstrap distribution)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n = cfg.n_chains
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(f"n_chains={n} must divide the mesh ({n_dev})")
+    per = n // n_dev
+    evalf = eval_path_bidir if cfg.bidirectional else eval_path
+
+    bootstrap = jax.jit(lambda s: _bootstrap(scene, meta, cfg, evalf, s))
+    u0, b = bootstrap(jnp.asarray([seed], jnp.uint32))
+    film = flm.new_film(meta.xres, meta.yres)
+
+    def shard_fn(scene, film, u_sh):
+        k = jax.lax.axis_index("dev")
+        base = (k * per).astype(jnp.uint32)
+
+        def body(wv, carry):
+            f, u = carry
+            return _mlt_wave(scene, meta, cfg, evalf, f, u,
+                             jnp.uint32(wv), chain_base=base)
+
+        film_loc = jax.tree.map(jnp.zeros_like, film)
+        film_loc, _ = jax.lax.fori_loop(0, n_waves, body, (film_loc, u_sh))
+        return jax.tree.map(lambda a, l: a + jax.lax.psum(l, "dev"),
+                            film, film_loc)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P("dev")),
+                   out_specs=P(), check_vma=False)
+    film = jax.jit(fn)(scene, film, u0)
+    total_mutations = n_waves * cfg.mutations_per_wave * n
+    splat_scale = float(b) * meta.xres * meta.yres / total_mutations
+    img = flm.develop(film, splat_scale=splat_scale)
+    img = _maybe_direct(scene, meta, cfg, img)
     return img, film

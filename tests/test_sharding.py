@@ -81,3 +81,25 @@ def test_distributed_photon_shoot_bitwise():
     for k in rep:
         np.testing.assert_array_equal(np.asarray(rep[k]),
                                       np.asarray(dist[k]), err_msg=k)
+
+
+def test_mlt_chains_sharded_matches_single_device():
+    """P4 multi-chip Metropolis: the 8-device chain-sharded render advances
+    the SAME chain trajectories as the single-device run (global-chain-id
+    mutation keys), so the merged splat film matches up to float
+    accumulation order."""
+    import numpy as np
+    from grail.scene.presets import cornell_box
+    from grail.engine.metropolis import (MLTConfig, render_mlt,
+                                         render_mlt_sharded)
+    from grail.dist.sharding import make_mesh
+
+    scene, meta, _ = cornell_box(xres=16, yres=16, spp=2, with_boxes=False)
+    cfg = MLTConfig(max_depth=3, n_chains=1024, n_bootstrap=1024,
+                    mutations_per_wave=4)
+    img1, _ = render_mlt(scene, meta, cfg, n_waves=2)
+    img8, _ = render_mlt_sharded(scene, meta, cfg, n_waves=2,
+                                 mesh=make_mesh(8))
+    a, b = np.asarray(img1), np.asarray(img8)
+    assert np.isfinite(b).all() and a.mean() > 0
+    np.testing.assert_allclose(b, a, atol=1e-4, rtol=1e-3)
