@@ -38,6 +38,39 @@ def fresnel_diffuse_reflectance(eta):
             + 0.0636 / (eta * eta * eta))
 
 
+def rd_integral(alphap, A):
+    """Total diffuse albedo of the dipole for reduced albedo alphap — pbrt
+    volume.cpp RdIntegral."""
+    import numpy as np
+    s = np.sqrt(3.0 * (1.0 - alphap))
+    return alphap / 2.0 * (1.0 + np.exp(-4.0 / 3.0 * A * s)) * np.exp(-s)
+
+
+def subsurface_from_diffuse(kd, meanfreepath, eta):
+    """Invert the dipole albedo: diffuse reflectance Kd + mean free path →
+    (sigma_a, sigma_prime_s) — pbrt volume.cpp SubsurfaceFromDiffuse /
+    RdToAlphap (bisection per channel), used by kdsubsurface.cpp. Host-side.
+    """
+    import numpy as np
+    kd = np.asarray(kd, np.float64)
+    fdr = fresnel_diffuse_reflectance(eta)
+    A = (1.0 + fdr) / (1.0 - fdr)
+    lo = np.zeros_like(kd)
+    hi = np.ones_like(kd)
+    for _ in range(32):
+        mid = 0.5 * (lo + hi)
+        below = rd_integral(mid, A) < kd
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    alphap = 0.5 * (lo + hi)
+    sigma_tr = 1.0 / max(float(meanfreepath), 1e-9)
+    sigmap_t = sigma_tr / np.sqrt(3.0 * np.maximum(1.0 - alphap, 1e-9))
+    sigmap_s = alphap * sigmap_t
+    sigma_a = sigmap_t - sigmap_s
+    return (tuple(float(x) for x in sigma_a),
+            tuple(float(x) for x in sigmap_s))
+
+
 def dipole_rd(d2, sigma_a, sigma_prime_s, eta):
     """Jensen dipole diffusion profile Rd(d^2), per channel.
 

@@ -517,11 +517,19 @@ class PbrtAPI:
             # record the BSSRDF medium for the dipole integrator
             # (subsurface.cpp: named media via GetVolumeScatteringProperties,
             # or explicit sigma_a / sigma_prime_s; kdsubsurface.cpp converts
-            # Kd via SubsurfaceFromDiffuse — approximated here by treating Kd
-            # as the diffuse albedo alpha' with the default sigma scale)
+            # Kd + meanfreepath via SubsurfaceFromDiffuse — the dipole-albedo
+            # bisection inversion, volume.cpp RdToAlphap)
             from ..shade.media import MEASURED_MEDIA
+            eta = tp.find_one_float("index", 1.3)
             name = tp.find_one_string("name", "")
-            if name and name in MEASURED_MEDIA:
+            if mtype == "kdsubsurface":
+                from ..engine.subsurface import subsurface_from_diffuse
+                kd_rgb = tp.find_one_rgb("Kd", (0.5, 0.5, 0.5))
+                mfp = tp.find_one_float("meanfreepath", 1.0)
+                sa, sps = subsurface_from_diffuse(kd_rgb, mfp, eta)
+                self.sss_sigma_a = sa
+                self.sss_sigma_s = sps
+            elif name and name in MEASURED_MEDIA:
                 sa, sps = MEASURED_MEDIA[name]
                 self.sss_sigma_a = tuple(sa)
                 self.sss_sigma_s = tuple(sps)
@@ -533,7 +541,7 @@ class PbrtAPI:
                 sps = tp.find_one_rgb("sigma_prime_s", (2.55, 3.21, 3.77))
                 self.sss_sigma_a = tuple(float(x) * scale for x in sa)
                 self.sss_sigma_s = tuple(float(x) * scale for x in sps)
-            self.sss_eta = tp.find_one_float("index", 1.3)
+            self.sss_eta = eta
             # surface shell: specular reflection over a diffuse base, as the
             # dipole integrator shades direct light at the boundary
             kr = tp.get_spectrum_texture(b, "Kr", (1.0, 1.0, 1.0))

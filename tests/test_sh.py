@@ -175,3 +175,23 @@ def test_useprobes_approximates_direct():
     up, direct = np.asarray(up)[8:], np.asarray(direct)[8:]
     assert np.isfinite(up).all()
     assert 0.5 * direct.mean() < up.mean() < 1.5 * direct.mean()
+
+
+def test_subsurface_from_diffuse_roundtrip():
+    """kdsubsurface Kd -> sigma conversion (volume.cpp SubsurfaceFromDiffuse):
+    the recovered coefficients' dipole albedo must reproduce Kd, and the
+    reduced extinction must match the requested mean free path."""
+    from grail.engine.subsurface import (subsurface_from_diffuse, rd_integral,
+                                         fresnel_diffuse_reflectance)
+    kd = (0.612, 0.344, 0.081)
+    mfp = 0.8
+    eta = 1.3
+    sa, sps = subsurface_from_diffuse(kd, mfp, eta)
+    fdr = fresnel_diffuse_reflectance(eta)
+    A = (1.0 + fdr) / (1.0 - fdr)
+    for c in range(3):
+        alphap = sps[c] / (sa[c] + sps[c])
+        np.testing.assert_allclose(rd_integral(alphap, A), kd[c], atol=1e-4)
+        sigmap_t = sa[c] + sps[c]
+        np.testing.assert_allclose(
+            (1.0 / mfp) / np.sqrt(3.0 * (1.0 - alphap)), sigmap_t, rtol=1e-5)
