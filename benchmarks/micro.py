@@ -96,6 +96,54 @@ def main():
 
     hit = jax.block_until_ready(close(o, d, tmax))
 
+    # BVH stream rows run EARLY: after heavy multi-wave programs the
+    # tunnel faults deterministically on these launches (wedging the
+    # client); early placement + the per-row guards keep the artifact
+    try:
+        # ---- BVH streaming traversal on sphere meshes (camera-style rays,
+        # sorted into tiles by the dispatch — the production hot path)
+        if os.environ.get("MICRO_SKIP_BVH", "0") != "1":
+            from grail.scene.bvh import build_bvh_auto, bvh_to_device
+            from grail.kernels.bvh_stream import build_stream_table
+            for nu, nv, label in ((240, 74, "35k"), (420, 120, "100k")):
+                verts, idx = tessellate_sphere(radius=1.0, nu=nu, nv=nv)
+                bscene = {"verts": jnp.asarray(verts),
+                          "tri_idx": jnp.asarray(idx.astype(np.int32))}
+                b_np = build_bvh_auto(verts, idx, max_prims=4, force_leaf=4)
+                bscene["bvh"] = bvh_to_device(b_np)
+                bscene["bvh"]["stream"] = jnp.asarray(
+                    build_stream_table(b_np, verts, idx))
+                res_m = int(np.sqrt(n))
+                xs, ys = np.meshgrid(np.linspace(-1.2, 1.2, res_m),
+                                     np.linspace(-1.2, 1.2, res_m))
+                # rays in the renderer's static 8x16 pixel-tile order (the
+                # dispatch no longer sorts dynamically; engine/film.py lane_pixel)
+                from grail.engine.film import lane_pixel
+                lane = np.arange(res_m * res_m)
+                px_t, py_t = lane_pixel(jnp.asarray(lane), res_m)
+                sel = (np.asarray(py_t).astype(np.int64) * res_m
+                       + np.asarray(px_t))
+                tgt = np.stack([xs.ravel()[sel], ys.ravel()[sel],
+                                np.zeros(res_m * res_m)], -1)
+                o_m = np.tile(np.array([0, 0, 4.0], np.float32),
+                              (res_m * res_m, 1))
+                d_m = tgt - o_m
+                d_m /= np.linalg.norm(d_m, axis=1, keepdims=True)
+                o_m = jnp.asarray(o_m.astype(np.float32))
+                d_m = jnp.asarray(d_m.astype(np.float32))
+                bvhfn = jax.jit(
+                    lambda o, d, tmax, bs=bscene: isect.intersect(bs, o, d, tmax))
+                timeit(f"intersect BVH stream ({label} tris)", bvhfn, o_m, d_m,
+                       tmax, n_rays=n)
+                pfn = jax.jit(
+                    lambda o, d, tmax, bs=bscene: isect.intersect_p(bs, o, d,
+                                                                    tmax))
+                timeit(f"intersect_p BVH stream ({label} tris)", pfn, o_m, d_m,
+                       tmax, n_rays=n)
+    except Exception as e:  # noqa: BLE001
+        RESULTS["bvh_stream_error"] = str(e)[:200]
+
+
     # ---- shading context (geometry + textures + lobes)
     shade = jax.jit(lambda hit, o, d: _shade_context(scene, meta, hit, o, d))
     timeit("shade context (tex+lobes)", shade, hit, o, d, n_rays=n)
@@ -208,47 +256,6 @@ def main():
     dt = timeit("full path wave (depth 5)", wave_p, film, pix, samp, iters=5,
                 n_rays=n)
     print(f"path camera-rays/s: {n / dt / 1e6:.2f} M")
-
-    # ---- BVH streaming traversal on sphere meshes (camera-style rays,
-    # sorted into tiles by the dispatch — the production hot path)
-    if os.environ.get("MICRO_SKIP_BVH", "0") != "1":
-        from grail.scene.bvh import build_bvh_auto, bvh_to_device
-        from grail.kernels.bvh_stream import build_stream_table
-        for nu, nv, label in ((240, 74, "35k"), (420, 120, "100k")):
-            verts, idx = tessellate_sphere(radius=1.0, nu=nu, nv=nv)
-            bscene = {"verts": jnp.asarray(verts),
-                      "tri_idx": jnp.asarray(idx.astype(np.int32))}
-            b_np = build_bvh_auto(verts, idx, max_prims=4, force_leaf=4)
-            bscene["bvh"] = bvh_to_device(b_np)
-            bscene["bvh"]["stream"] = jnp.asarray(
-                build_stream_table(b_np, verts, idx))
-            res_m = int(np.sqrt(n))
-            xs, ys = np.meshgrid(np.linspace(-1.2, 1.2, res_m),
-                                 np.linspace(-1.2, 1.2, res_m))
-            # rays in the renderer's static 8x16 pixel-tile order (the
-            # dispatch no longer sorts dynamically; engine/film.py lane_pixel)
-            from grail.engine.film import lane_pixel
-            lane = np.arange(res_m * res_m)
-            px_t, py_t = lane_pixel(jnp.asarray(lane), res_m)
-            sel = (np.asarray(py_t).astype(np.int64) * res_m
-                   + np.asarray(px_t))
-            tgt = np.stack([xs.ravel()[sel], ys.ravel()[sel],
-                            np.zeros(res_m * res_m)], -1)
-            o_m = np.tile(np.array([0, 0, 4.0], np.float32),
-                          (res_m * res_m, 1))
-            d_m = tgt - o_m
-            d_m /= np.linalg.norm(d_m, axis=1, keepdims=True)
-            o_m = jnp.asarray(o_m.astype(np.float32))
-            d_m = jnp.asarray(d_m.astype(np.float32))
-            bvhfn = jax.jit(
-                lambda o, d, tmax, bs=bscene: isect.intersect(bs, o, d, tmax))
-            timeit(f"intersect BVH stream ({label} tris)", bvhfn, o_m, d_m,
-                   tmax, n_rays=n)
-            pfn = jax.jit(
-                lambda o, d, tmax, bs=bscene: isect.intersect_p(bs, o, d,
-                                                                tmax))
-            timeit(f"intersect_p BVH stream ({label} tris)", pfn, o_m, d_m,
-                   tmax, n_rays=n)
 
     if "--json" in sys.argv:
         out = sys.argv[sys.argv.index("--json") + 1]
