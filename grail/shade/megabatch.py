@@ -50,7 +50,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.vecmath import normalize
 from ..kernels.binning import bucket_rank, sort_by_rank
 from .textures import eval_textures, rows_closure
 from .materials import CONV_INV, CONV_RADIANS, MAT_FIELDS
