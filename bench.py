@@ -245,6 +245,18 @@ def main():
         except Exception as e:          # noqa: BLE001
             _record(name + "_error", str(e)[:300])
 
+    # committed one-off benchmark artifacts, surfaced (clearly marked) so the
+    # round recording carries them: the instanced-vs-flattened ratio and the
+    # traversal-variant sweep are measured by their own scripts
+    for key, path in (("instanced_artifact", "benchmarks/instbench_r05.json"),
+                      ("stream_variants_artifact",
+                       "benchmarks/streamvariants_r05.json")):
+        try:
+            with open(os.path.join(_HERE, path)) as f:
+                _record(key, json.load(f))
+        except Exception:
+            pass
+
     cornell_rps = _RESULTS.get("cornell_rays_per_sec")
     prev, prev_round, prev_cfg = _previous()
     vs = (cornell_rps / prev) if (prev and cornell_rps) else 1.0
